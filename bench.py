@@ -1,0 +1,143 @@
+"""Benchmark: SpMV throughput (the BASELINE.json north star) + end-to-end
+projection-step throughput on the flagship TGV model.
+
+Prints ONE JSON line:
+  {"metric": "spmv_nnz_per_s", "value": ..., "unit": "nnz/s",
+   "vs_baseline": achieved / (0.8 * HBM-roofline nnz/s), ...extras}
+
+The reference publishes no wall-clock numbers (BASELINE.md); the performance
+bar is >=80% of HBM roofline for SpMV nnz/s per chip.  Roofline model for the
+ELL SpMV: per nnz we move vals(4B) + idx(4B) + gathered x(4B) = 12 B minimum
+from HBM (mask folded into vals; diag amortized), so
+roofline_nnz_s = HBM_BW / 12.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# HBM bandwidth per chip (bytes/s): TPU v5e ~ 819 GB/s
+HBM_BW = {"tpu v5": 819e9, "tpu v4": 1200e9, "cpu": 50e9}
+
+
+def _hbm_bw():
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "cpu").lower()
+    for k, v in HBM_BW.items():
+        if k in kind:
+            return v
+    return HBM_BW["cpu"]
+
+
+def bench_spmv(n_lattice=256, max_neighbors=48, iters=1000):
+    from isph_tpu.models import tgv
+    from isph_tpu.ops import corrected as ops
+    from isph_tpu.ops.corrected import PairFilter, SYMMETRIC
+    from isph_tpu.state import Kind
+
+    sim, state = tgv.make_tgv(
+        n_lattice, dtype=jnp.float32, max_neighbors=max_neighbors, pad_multiple=128
+    )
+    nbrs = jax.jit(sim.neighbors)(state)
+    assert int(nbrs.overflow) == 0, "neighbor overflow in bench"
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
+
+    # NOTE: large arrays must be ARGUMENTS of jitted functions, never closures
+    # — closed-over concrete arrays are embedded as constants in the HLO.
+    def build(geom, pre, state):
+        return ops.laplacian_matrix(
+            geom, pre.vfrac, pre.Gc, pre.Lc, state.kind,
+            alpha=-sim.cfg.dt, material=1.0 / state.rho,
+            filt=PairFilter(Kind.FLUID, Kind.FLUID), family=SYMMETRIC,
+        )
+
+    A = jax.jit(build)(geom, pre, state)
+    jax.block_until_ready(A.vals)
+
+    x = state.p + 1.0
+
+    @jax.jit
+    def many_matvec(A, x):
+        def body(x, _):
+            y = A.matvec(x)
+            # normalize to keep values finite over many iterations
+            y = y / jnp.maximum(jnp.sqrt((y * y).sum()), 1e-30)
+            return y, None
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y
+
+    # TIMING METHODOLOGY (remote-TPU tunnel): the runtime memoizes repeat
+    # executions with identical inputs and has erratic multi-second dispatch
+    # latency, so: (a) warm up with DIFFERENT input values than the timed
+    # run, (b) time a single call whose on-device work is seconds-scale
+    # (iters large), (c) never reuse input values across calls.
+    y = many_matvec(A, x)
+    jax.block_until_ready(y)  # warmup/compile with x
+    x2 = x * 1.0001 + 0.001  # fresh values for the timed run
+    t0 = time.perf_counter()
+    y = many_matvec(A, x2)
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+
+    nnz = float(np.asarray(geom.mask).sum() + state.n)  # offdiag + diag
+    nnz_per_s = nnz * iters / dt
+    return nnz_per_s, nnz, dt
+
+
+def bench_step(n_lattice=128, max_neighbors=48, steps=5):
+    from isph_tpu.models import tgv
+
+    sim, state = tgv.make_tgv(
+        n_lattice, dtype=jnp.float32, max_neighbors=max_neighbors, pad_multiple=128
+    )
+
+    @jax.jit
+    def nsteps(state):
+        def body(s, _):
+            s2, aux = sim.step(s)
+            return s2, aux.status.vmax
+        return jax.lax.scan(body, state, None, length=steps)
+
+    out, vmax = nsteps(state)
+    jax.block_until_ready(out.x)  # warmup/compile
+    state2 = state.replace(v=state.v * 1.0001)  # fresh values (see bench_spmv note)
+    t0 = time.perf_counter()
+    out, vmax = nsteps(state2)
+    jax.block_until_ready(out.x)
+    dt = time.perf_counter() - t0
+    particle_steps_per_s = state.n * steps / dt
+    return particle_steps_per_s, dt / steps, float(np.asarray(vmax)[-1])
+
+
+def main():
+    spmv_nnz_s, nnz, spmv_t = bench_spmv()
+    ps_per_s, step_t, vmax = bench_step()
+
+    roofline = _hbm_bw() / 12.0
+    target = 0.8 * roofline
+    print(
+        json.dumps(
+            {
+                "metric": "spmv_nnz_per_s",
+                "value": spmv_nnz_s,
+                "unit": "nnz/s",
+                "vs_baseline": spmv_nnz_s / target,
+                "extras": {
+                    "matrix_nnz": nnz,
+                    "roofline_nnz_per_s": roofline,
+                    "tgv2d_particle_steps_per_s": ps_per_s,
+                    "tgv2d_step_seconds": step_t,
+                    "tgv2d_vmax": vmax,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

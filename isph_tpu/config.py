@@ -1,0 +1,191 @@
+"""Typed configuration hierarchy.
+
+TPU-native replacement for the reference's Teuchos ParameterList loaded from
+XML into the global ``g_params`` (reference pair_isph.cpp:1424-1881,
+sph-script/example.xml).  Every sublist of the XML schema maps onto a frozen
+dataclass here so configs are hashable and can be closed over by ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class KernelType(str, enum.Enum):
+    WENDLAND = "Wendland"
+    CUBIC = "Cubic"
+    QUINTIC = "Quintic"
+
+
+class SingularPoisson(str, enum.Enum):
+    """Strategies for the singular (pure-Neumann) pressure Poisson problem.
+
+    Mirrors reference pair_isph.h:129-138 and pair_isph.cpp:493-520.
+    """
+
+    NOT_SINGULAR = "NotSingularPoisson"
+    NULL_SPACE = "NullSpace"
+    PIN_ZERO = "PinZero"
+    DOUBLE_DIAG = "DoubleDiag"
+
+
+class BoundaryCond(str, enum.Enum):
+    """Solid-wall boundary treatment (reference pair_isph.h:120-127)."""
+
+    NONE = "NoBoundaryCond"
+    HOMOGENEOUS_NEUMANN = "HomogeneousNeumann"
+    CONST_EXTENSION = "ConstExtension"
+    NAVIER_SLIP = "NavierSlip"
+    DIRICHLET = "Dirichlet"
+    MORRIS_NORMAL = "MorrisNormal"
+    MORRIS_HOLMES = "MorrisHolmes"
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConfig:
+    """Reference XML sublist "Kernel Function" (pair_isph_corrected.cpp:1273-1347)."""
+
+    type: KernelType = KernelType.WENDLAND
+    cut_over_h: float = 2.0  # Wendland/MLS default; splines use 3.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Krylov solver defaults (reference solver_lin_belos.h:224-263)."""
+
+    method: str = "gmres"  # "gmres" | "cg"
+    tol: float = 1.0e-8  # relative residual
+    restart: int = 50  # GMRES basis size ("Num Blocks")
+    max_restarts: int = 15
+    max_iters: int = 500
+    precond: str = "jacobi"  # "none" | "jacobi"
+
+
+@dataclasses.dataclass(frozen=True)
+class NewtonConfig:
+    """Newton-Krylov defaults (reference solver_nox_impl.h:125-153,
+    solver_nox_stratimikos.h:110-121)."""
+
+    tol_f: float = 1.0e-8  # NormF
+    tol_update: float = 1.0e-5  # NormUpdate (WRMS-like)
+    max_iters: int = 100
+    linear_tol: float = 1.0e-6
+    linear_max_iters: int = 80
+
+
+@dataclasses.dataclass(frozen=True)
+class NavierStokesConfig:
+    """Reference XML sublist "Incompressible Navier Stokes"
+    (pair_isph.cpp:1762-1840)."""
+
+    enabled: bool = True
+    theta: float = 0.5  # implicitness of the viscous Helmholtz step
+    singular_poisson: SingularPoisson = SingularPoisson.NULL_SPACE
+    boundary: BoundaryCond = BoundaryCond.NONE
+    beta: float = 0.0  # Navier-slip coefficient
+    g: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # body acceleration
+    use_incremental_pressure: bool = True  # pair_isph.cpp:1776
+    use_momentum_preserve_operator: bool = True  # pair_isph.cpp:1779 (AntiSymmetric family)
+    is_block_helmholtz_enabled: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonBoltzmannConfig:
+    """Reference XML sublist "Poisson Boltzmann" (pair_isph.cpp:1602-1700)."""
+
+    enabled: bool = False
+    ezcb: float = 1.0  # kappa^2-like coefficient e z c_b
+    gamma: float = 0.0  # steric factor (0 => classic sinh)
+    psiref: float = 1.0
+    is_linearized: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class AppliedElectricFieldConfig:
+    """Reference XML sublist "Applied Electric Field" (pair_isph.cpp:628-673)."""
+
+    enabled: bool = False
+    e: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # applied field
+    smooth_phi: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfaceTensionConfig:
+    """Reference XML sublist "Surface Tension" (pair_isph.cpp:1841-1870)."""
+
+    enabled: bool = False
+    model: str = "csf"  # "csf" | "pairwise"
+    alpha: float = 0.0  # surface-tension coefficient
+    kappa_max: float = 0.0  # curvature regularization
+    theta: float = 0.0  # contact angle
+
+
+@dataclasses.dataclass(frozen=True)
+class SoluteTransportConfig:
+    """Reference XML sublist "Solute Transport" (pair_isph.cpp:797-850).
+
+    ``d`` holds diffusivities for up to 4 species (macrodef.h:10); a species is
+    enabled when its diffusivity is not None.
+    """
+
+    enabled: bool = False
+    theta: float = 0.5
+    d: Tuple[Optional[float], ...] = (None, None, None, None)
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomStressConfig:
+    """Fluctuating hydrodynamics (reference pair_isph.cpp:710-781)."""
+
+    enabled: bool = False
+    kbt: float = 0.0
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ShiftConfig:
+    """Fickian particle shifting (reference fix_isph_shift.cpp:46-72)."""
+
+    enabled: bool = False
+    shift: float = 0.05
+    shiftcut: Optional[float] = None  # default: kernel cutoff
+    nonfluidweight: float = 0.25
+
+
+@dataclasses.dataclass(frozen=True)
+class NeighborConfig:
+    """Static shape policy for the padded neighbor list (replaces LAMMPS bins)."""
+
+    max_neighbors: int = 64  # K: padded neighbor width
+    cell_capacity: int = 32  # max particles per cell bin
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationConfig:
+    """Top-level config (reference "Implicit SPH Top-Level Parameters")."""
+
+    dim: int = 2
+    h: float = 0.1  # smoothing length (pair_coeff arg)
+    dt: float = 1.0e-3
+    dtype: str = "float64"  # "float32" on TPU; "float64" for CPU verification
+    kernel: KernelConfig = KernelConfig()
+    ns: NavierStokesConfig = NavierStokesConfig()
+    pb: PoissonBoltzmannConfig = PoissonBoltzmannConfig()
+    ae: AppliedElectricFieldConfig = AppliedElectricFieldConfig()
+    st: SurfaceTensionConfig = SurfaceTensionConfig()
+    tr: SoluteTransportConfig = SoluteTransportConfig()
+    rs: RandomStressConfig = RandomStressConfig()
+    shift: ShiftConfig = ShiftConfig()
+    solver: SolverConfig = SolverConfig()
+    newton: NewtonConfig = NewtonConfig()
+    neighbor: NeighborConfig = NeighborConfig()
+
+    @property
+    def cut(self) -> float:
+        """Kernel support radius (reference: cut = cut_over_h * h)."""
+        return self.kernel.cut_over_h * self.h
+
+    def replace(self, **kw) -> "SimulationConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,122 @@
+"""Timestep driver.
+
+TPU-native replacement for the LAMMPS Verlet loop + FixISPH/FixISPH_Shift
+orchestration (reference fix_isph.cpp:86-163, fix_isph_shift.cpp:96-163,
+PairISPH::compute pair_isph.cpp:1241-1380).  A full step is a pure function
+``state -> state`` so the whole loop jit-compiles once; neighbor rebuilds
+happen inside the step (they are sort/gather programs, cheap relative to the
+Krylov work).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from isph_tpu.config import SimulationConfig
+from isph_tpu.state import Domain, ParticleState, Precomputed
+from isph_tpu.ops.kernels import get_kernel
+from isph_tpu.ops.neighbors import (
+    NeighborList,
+    PairGeom,
+    build_neighbor_list,
+    build_neighbor_list_bruteforce,
+    compute_pair_geometry,
+)
+from isph_tpu.physics import ns_projection, shift as shift_mod
+from isph_tpu.physics.status import Status, compute_status
+
+
+class StepAux(NamedTuple):
+    """Per-step diagnostics surfaced to the host."""
+
+    status: Status
+    helmholtz_iters: jax.Array
+    helmholtz_relres: jax.Array
+    poisson_iters: jax.Array
+    poisson_relres: jax.Array
+    neighbor_overflow: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Simulation:
+    """Immutable problem setup: domain + config (+ static neighbor policy)."""
+
+    cfg: SimulationConfig
+    domain: Domain
+    use_bruteforce_neighbors: bool = False
+
+    # -- neighbor plumbing -------------------------------------------------
+    def neighbors(self, state: ParticleState) -> NeighborList:
+        if self.use_bruteforce_neighbors:
+            return build_neighbor_list_bruteforce(
+                state.x, state.valid, self.domain, self.cfg.cut,
+                self.cfg.neighbor.max_neighbors,
+            )
+        return build_neighbor_list(
+            state.x, state.valid, self.domain, self.cfg.cut,
+            self.cfg.neighbor.max_neighbors, self.cfg.neighbor.cell_capacity,
+        )
+
+    def geometry(self, state: ParticleState, nbrs: NeighborList) -> PairGeom:
+        kern = get_kernel(self.cfg.kernel.type)
+        return compute_pair_geometry(state.x, nbrs, self.domain, kern, self.cfg.h)
+
+    def precompute(self, state: ParticleState, geom: PairGeom) -> Precomputed:
+        return ns_projection.compute_pre(state, geom, self.cfg)
+
+    # -- one full timestep -------------------------------------------------
+    def step(
+        self, state: ParticleState, *, axis_name: Optional[str] = None
+    ) -> Tuple[ParticleState, StepAux]:
+        cfg = self.cfg
+
+        nbrs = self.neighbors(state)
+        geom = self.geometry(state, nbrs)
+        pre = self.precompute(state, geom)
+
+        state, info = ns_projection.navier_stokes_step(
+            state, geom, pre, cfg, axis_name=axis_name
+        )
+        state = ns_projection.advance_time(state, geom, pre, cfg, self.domain)
+
+        overflow = nbrs.overflow
+        if cfg.shift.enabled:
+            # re-neighbor at the moved positions, recompute geometry, shift
+            # (FixISPH_Shift::final_integrate -> refreshParticles + computePre)
+            nbrs2 = self.neighbors(state)
+            geom2 = self.geometry(state, nbrs2)
+            pre2 = self.precompute(state, geom2)
+            dr = shift_mod.compute_shift_vectors(state, geom2, cfg, axis_name=axis_name)
+            state = shift_mod.apply_shift(state, geom2, pre2, cfg, dr, self.domain)
+            overflow = overflow + nbrs2.overflow
+
+        status = compute_status(state, pre.vfrac, 0.0, axis_name=axis_name)
+        zero = jnp.asarray(0, jnp.int32)
+        aux = StepAux(
+            status=status,
+            helmholtz_iters=(info.helmholtz.iters.sum() if info.helmholtz is not None else zero),
+            helmholtz_relres=(info.helmholtz.relres.max() if info.helmholtz is not None
+                              else jnp.asarray(0.0, state.dtype)),
+            poisson_iters=info.poisson.iters,
+            poisson_relres=info.poisson.relres,
+            neighbor_overflow=overflow,
+        )
+        return state, aux
+
+    def step_fn(self, *, axis_name: Optional[str] = None):
+        """jit-ready closure."""
+        return partial(self.step, axis_name=axis_name)
+
+    def run(self, state: ParticleState, nsteps: int) -> Tuple[ParticleState, StepAux]:
+        """Host loop (keeps per-step aux of the last step).  For benchmarks use
+        ``jax.lax.scan`` over :meth:`step` instead."""
+        step = jax.jit(self.step_fn())
+        aux = None
+        for _ in range(nsteps):
+            state, aux = step(state)
+        return state, aux

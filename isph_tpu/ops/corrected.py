@@ -1,0 +1,435 @@
+"""Corrected-kernel SPH discretization (the reference "Corrected" backend).
+
+Vectorized re-design of the reference functor layer: each function consumes
+the shared per-step :class:`~isph_tpu.ops.neighbors.PairGeom` and produces
+per-particle fields or ELL matrices via masked reductions over the padded
+neighbor axis — no per-particle loops, no scatter.
+
+Operator families (reference functor.h:9-20, pair_isph_corrected.cpp:44-52):
+- Symmetric (consistency-preserving): corrected tensors Gc/Lc, volume V_j,
+  pair combination (f_j - f_i).
+- AntiSymmetric (momentum-preserving, selected by the reference's "Use
+  Momentum Preserve Operator"): identity tensors, volume sqrt(V_i V_j), pair
+  combination (f_i + f_j).
+
+LAYOUT: particle axis minor everywhere — fields (N,), vectors (D, N), pair
+arrays (K, N) / (D, K, N), tensors (D, D, N), packed (DL, N) (see state.py).
+Contractions over the small D axis are unrolled python loops over 2-D arrays,
+which XLA fuses into single VPU passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from isph_tpu.state import Kind
+from isph_tpu.ops.neighbors import PairGeom
+from isph_tpu.ops.ell import ELL
+from isph_tpu.utils import dense
+from isph_tpu.utils.packed import (
+    packed_identity,
+    packed_indices,
+    packed_len,
+    packed_scale,
+    quadform,
+)
+
+
+# ---------------------------------------------------------------------------
+# Filters (reference filter.h FilterBinary)
+# ---------------------------------------------------------------------------
+
+class PairFilter(NamedTuple):
+    """Bitmask pair filter: yes(i) = kind_i & iset; yes(i,j) = yes(i) && (kind_j & jset).
+
+    Mirrors FilterBinary::setPairYes (filter.h:40-56)."""
+
+    iset: int
+    jset: int = Kind.ALL
+
+    def row(self, kind: jax.Array) -> jax.Array:
+        return (kind & self.iset) != 0
+
+    def pair(self, kind: jax.Array, geom: PairGeom) -> jax.Array:
+        """(K, N) bool pair admission."""
+        kj = kind[geom.idx]
+        return ((kind[None, :] & self.iset) != 0) & ((kj & self.jset) != 0)
+
+
+def pair_coeff(
+    kind: jax.Array,
+    geom: PairGeom,
+    filt: PairFilter,
+    mirror: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-pair admission coefficient used by the operator kernels.
+
+    Reproduces the reference pattern (e.g. functor_laplacian_matrix.h:148-152):
+    ``coeff = yes(ikind, ikind)``; for a non-solid i with solid j,
+    ``coeff = yes(ikind, jkind) ? mirror_ij : 0``.  ``mirror`` is the
+    Morris-Holmes wall-mirroring coefficient (K, N) or None (MirrorNothing).
+    """
+    dtype = geom.mask.dtype
+    ki = kind[None, :]
+    kj = kind[geom.idx]
+    solid = Kind.SOLID | Kind.BOUNDARY
+    base = (((ki & filt.iset) != 0) & ((ki & filt.jset) != 0)).astype(dtype)
+    fs_pair = ((ki & solid) == 0) & ((kj & solid) != 0)
+    fs_yes = (((ki & filt.iset) != 0) & ((kj & filt.jset) != 0)).astype(dtype)
+    fs_coeff = fs_yes * (mirror if mirror is not None else 1.0)
+    return jnp.where(fs_pair, fs_coeff, base)
+
+
+# ---------------------------------------------------------------------------
+# computePre: volumes, correction tensors (pair_isph_corrected.cpp:302-369)
+# ---------------------------------------------------------------------------
+
+def shepard_volume(geom: PairGeom) -> jax.Array:
+    """V_i = 1 / (W(0) + sum_j W_ij) — reference functor_volume.h:42-81."""
+    return 1.0 / (geom.w_self + (geom.w * geom.mask).sum(axis=0))
+
+
+def gradient_correction(geom: PairGeom, vfrac: jax.Array) -> jax.Array:
+    """Gc_i = (sum_j -r x r dw/dr / r V_j)^{-1} — functor_gradient_correction.h:24-71.
+
+    Computed for all particles with all neighbors (the reference passes no
+    filter when building Gc in computePre).  Returns (D, D, N); the inversion
+    is the closed-form cofactor formula (utils/dense.py), not an LU call.
+    """
+    dim = geom.dim
+    coef = -geom.dwdr / geom.r * vfrac[geom.idx] * geom.mask  # (K, N)
+    G = jnp.stack(
+        [
+            jnp.stack([(coef * geom.rij[a] * geom.rij[b]).sum(axis=0) for b in range(dim)])
+            for a in range(dim)
+        ]
+    )  # (D, D, N)
+    return dense.inv_dd(G)
+
+
+def laplacian_correction(geom: PairGeom, vfrac: jax.Array, Gc: jax.Array) -> jax.Array:
+    """Packed correction tensor Lc (DL, N) solving the reference linear system
+    (functor_laplacian_correction.h:24-160)."""
+    dim = geom.dim
+    dtype = geom.r.dtype
+    idx_p = packed_indices(dim)
+    dl = len(idx_p)
+    vj = vfrac[geom.idx] * geom.mask  # (K, N)
+
+    # a_{ij}^k = (Gc_i r_ij)_k * dwdr / r * V_j   -> (D, K, N)
+    wgt = geom.dwdr / geom.r * vj
+    a = jnp.stack(
+        [sum(Gc[k1, k2][None, :] * geom.rij[k1] for k1 in range(dim)) * wgt for k2 in range(dim)]
+    )
+
+    # A_i^{k, mn} = sum_j a^k r^m r^n   -> (D, DL, N)
+    A = jnp.stack(
+        [
+            jnp.stack([(a[k] * geom.rij[m] * geom.rij[n]).sum(axis=0) for (m, n) in idx_p])
+            for k in range(dim)
+        ]
+    )
+
+    # C_{ij}^{mn} = (sum_k A^{k,mn} e^k + r^m e^n) * dwdr * V_j  -> (DL, K, N)
+    dwv = geom.dwdr * vj
+    C = jnp.stack(
+        [
+            (
+                sum(A[k, q][None, :] * geom.eij[k] for k in range(dim))
+                + geom.rij[m] * geom.eij[n]
+            )
+            * dwv
+            for q, (m, n) in enumerate(idx_p)
+        ]
+    )
+
+    # L^{mn, op} = sum_j C^{mn} e^o e^p * (2 if o!=p else 1)  -> (DL, DL, N)
+    scale = packed_scale(dim)
+    L = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    (C[q] * geom.eij[o] * geom.eij[p]).sum(axis=0) * scale[s]
+                    for s, (o, p) in enumerate(idx_p)
+                ]
+            )
+            for q in range(dl)
+        ]
+    )
+
+    rhs_np = -packed_identity(dim)
+    rhs = jnp.broadcast_to(jnp.asarray(rhs_np, dtype)[:, None], (dl, geom.n))
+    return dense.solve_leading(L, rhs)
+
+
+def interface_normal(geom: PairGeom, vfrac: jax.Array, kind: jax.Array, Gc: jax.Array, h: float):
+    """Interface normals + particle number density (functor_normal.h).
+
+    Color-gradient normals from the kind indicator; a normal is kept only
+    where its magnitude is significant (near an interface).  Returns
+    ((D, N) normal, (N,) pnd).
+    """
+    dim = geom.dim
+    dtype = geom.r.dtype
+    solid = Kind.SOLID | Kind.BOUNDARY
+    ci = ((kind & solid) != 0).astype(dtype)  # color: 1 solid, 0 fluid
+    cj = ci[geom.idx]
+    vj = vfrac[geom.idx] * geom.mask
+
+    coef = (cj - ci[None, :]) * geom.dwdr / geom.r * vj  # (K, N)
+    gr = _g_dot_r(Gc, geom.rij)  # (D, K, N)
+    grad_c = jnp.stack([(gr[b] * coef).sum(axis=0) for b in range(dim)])  # (D, N)
+
+    mag = jnp.sqrt(sum(grad_c[d] * grad_c[d] for d in range(dim)))
+    near = mag > 0.01 / h
+    normal = jnp.where(near[None, :], grad_c / jnp.maximum(mag, 1e-30)[None, :], 0.0)
+    sign = jnp.where(ci > 0.5, 1.0, -1.0)
+    normal = normal * sign[None, :]
+
+    pnd = geom.w_self + (geom.w * geom.mask).sum(axis=0)
+    return normal, pnd
+
+
+# ---------------------------------------------------------------------------
+# Operator family selection
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Family:
+    """Resolved operator family: correction tensors + volume + pair combiner."""
+
+    antisymmetric: bool
+
+    def tensors(self, geom: PairGeom, Gc, Lc):
+        dim = geom.dim
+        dtype = geom.r.dtype
+        n = geom.n
+        if self.antisymmetric:
+            Gi = jnp.broadcast_to(jnp.eye(dim, dtype=dtype)[:, :, None], (dim, dim, n))
+            Li = jnp.broadcast_to(
+                jnp.asarray(packed_identity(dim), dtype)[:, None], (packed_len(dim), n)
+            )
+            return Gi, Li
+        return Gc, Lc
+
+    def vf(self, geom: PairGeom, vfrac: jax.Array) -> jax.Array:
+        """(K, N) pair volume weight."""
+        vj = vfrac[geom.idx]
+        if self.antisymmetric:
+            return jnp.sqrt(vfrac[None, :] * vj) * geom.mask
+        return vj * geom.mask
+
+    def combine(self, fi, fj):
+        """sphOperator (functor.h:9-20): (f_i + f_j) or (f_j - f_i)."""
+        return fi + fj if self.antisymmetric else fj - fi
+
+
+SYMMETRIC = Family(antisymmetric=False)
+ANTISYMMETRIC = Family(antisymmetric=True)
+
+
+def _g_dot_r(G, rij):
+    """(G_i^T applied) ge[b] = sum_a G[a,b] rij[a] : (D,D,N) x (D,K,N) -> (D,K,N)."""
+    dim = rij.shape[0]
+    return jnp.stack(
+        [sum(G[a, b][None, :] * rij[a] for a in range(dim)) for b in range(dim)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-wise operators (functor_gradient.h, functor_divergence.h)
+# ---------------------------------------------------------------------------
+
+def gradient(
+    geom: PairGeom,
+    vfrac: jax.Array,
+    Gc: jax.Array,
+    f: jax.Array,
+    *,
+    family: Family = SYMMETRIC,
+    coeff: Optional[jax.Array] = None,
+    row_mask: Optional[jax.Array] = None,
+    alpha: float = 1.0,
+) -> jax.Array:
+    """First-order-consistent corrected gradient (functor_gradient.h:109-168).
+
+    f: (N,) scalar -> (D, N); or (d, N) vector -> (d, D, N) with
+    out[a, k] = d f_a / d x_k.
+    """
+    dim = geom.dim
+    G, _ = family.tensors(geom, Gc, None)
+    vf = family.vf(geom, vfrac)
+    c = vf * geom.dwdr / geom.r
+    if coeff is not None:
+        c = c * coeff
+    gr = _g_dot_r(G, geom.rij)  # (D, K, N)
+
+    if f.ndim == 1:
+        comb = family.combine(f[None, :], f[geom.idx]) * c  # (K, N)
+        out = jnp.stack([(comb * gr[b]).sum(axis=0) for b in range(dim)]) * alpha
+    else:
+        d = f.shape[0]
+        comb = family.combine(f[:, None, :], f[:, geom.idx])  # (d, K, N)
+        out = jnp.stack(
+            [
+                jnp.stack([(comb[a] * c * gr[b]).sum(axis=0) for b in range(dim)])
+                for a in range(d)
+            ]
+        ) * alpha  # (d, D, N)
+    if row_mask is not None:
+        rm = row_mask.astype(out.dtype)
+        out = out * rm[(None,) * (out.ndim - 1)]
+    return out
+
+
+def divergence(
+    geom: PairGeom,
+    vfrac: jax.Array,
+    Gc: jax.Array,
+    f: jax.Array,
+    *,
+    family: Family = SYMMETRIC,
+    coeff: Optional[jax.Array] = None,
+    row_mask: Optional[jax.Array] = None,
+    alpha: float = 1.0,
+) -> jax.Array:
+    """Corrected divergence of a (D, N) vector field (functor_divergence.h:60-124)."""
+    dim = geom.dim
+    G, _ = family.tensors(geom, Gc, None)
+    vf = family.vf(geom, vfrac)
+    c = vf * geom.dwdr / geom.r
+    if coeff is not None:
+        c = c * coeff
+    gr = _g_dot_r(G, geom.rij)
+    comb = family.combine(f[:, None, :], f[:, geom.idx])  # (D, K, N)
+    out = sum((comb[b] * gr[b] * c) for b in range(dim)).sum(axis=0) * alpha
+    if row_mask is not None:
+        out = out * row_mask.astype(out.dtype)
+    return out
+
+
+def curl(
+    geom: PairGeom,
+    vfrac: jax.Array,
+    Gc: jax.Array,
+    f: jax.Array,
+    *,
+    family: Family = SYMMETRIC,
+    coeff: Optional[jax.Array] = None,
+    row_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Corrected curl (functor_curl.h): 3D -> (3, N); 2D -> scalar vorticity
+    (N,) = d v_y/dx - d v_x/dy."""
+    g = gradient(geom, vfrac, Gc, f, family=family, coeff=coeff, row_mask=row_mask)
+    # g[a, k] = d f_a / d x_k
+    if geom.dim == 3:
+        return jnp.stack([g[2, 1] - g[1, 2], g[0, 2] - g[2, 0], g[1, 0] - g[0, 1]])
+    return g[1, 0] - g[0, 1]
+
+
+# ---------------------------------------------------------------------------
+# Laplacian matrix assembly (functor_laplacian_matrix.h:72-316)
+# ---------------------------------------------------------------------------
+
+def laplacian_matrix(
+    geom: PairGeom,
+    vfrac: jax.Array,
+    Gc: jax.Array,
+    Lc: jax.Array,
+    kind: jax.Array,
+    *,
+    alpha: float,
+    material: Optional[jax.Array] = None,
+    filt: PairFilter = PairFilter(Kind.FLUID, Kind.ALL),
+    family: Family = SYMMETRIC,
+    mirror: Optional[jax.Array] = None,
+) -> ELL:
+    """Assemble alpha * material * Laplacian rows into ELL.
+
+    Exact vectorization of the reference two-pass row assembly:
+    pass 1 builds a_ij = 2 (L_i : e x e) dw/dr V (Brookshaw-style second
+    derivative with the packed correction tensor), pass 2 adds the
+    gradient-consistency correction with c_i and grad(material)
+    (functor_laplacian_matrix.h:130-262).  Rows whose kind fails the filter
+    are left entirely zero (diagonal fixed up by the physics caller, e.g.
+    unit diagonal for solid rows in the Helmholtz system).
+    """
+    dim = geom.dim
+    dtype = geom.r.dtype
+    G, L = family.tensors(geom, Gc, Lc)
+    vf = family.vf(geom, vfrac)
+    mat = material if material is not None else jnp.ones(geom.n, dtype)
+    mat_i = mat[None, :]
+    mat_j = mat[geom.idx]
+    coeff1 = pair_coeff(kind, geom, filt, mirror)
+    coeff2 = pair_coeff(kind, geom, filt, None)  # pass 2: no mirror scaling
+    rowf = filt.row(kind).astype(dtype)
+
+    # ---- pass 1 ----------------------------------------------------------
+    quad = quadform(L[:, None, :], geom.eij)  # (K, N)
+    aij0 = 2.0 * quad * geom.dwdr * vf  # before material/coeff/r
+    ge = _g_dot_r(G, geom.eij)  # (D, K, N): (G_i e_ij)
+    # gradient-of-material at i (guarded by ikind & jkind in the reference)
+    same_kind = ((kind[None, :] & kind[geom.idx]) != 0).astype(dtype)
+    cm = family.combine(mat_i, mat_j) * geom.dwdr * vf * same_kind
+    grad_mat = jnp.stack([(cm * ge[b]).sum(axis=0) for b in range(dim)])  # (D, N)
+    # c_i (symmetric family only, functor_laplacian_matrix.h:196-200)
+    if family.antisymmetric:
+        ci = jnp.zeros((dim, geom.n), dtype)
+    else:
+        ci = jnp.stack([(aij0 * geom.eij[b]).sum(axis=0) for b in range(dim)])
+
+    aij = aij0 * mat_i * coeff1 / geom.r  # (K, N)
+    off1 = -aij
+    diag1 = aij.sum(axis=0)
+
+    # ---- pass 2 ----------------------------------------------------------
+    ge_ci = sum(ge[b] * ci[b][None, :] for b in range(dim))  # (K, N)
+    ge_gm = sum(ge[b] * grad_mat[b][None, :] for b in range(dim))
+    tmp = coeff2 * (mat_i * ge_ci - ge_gm) * geom.dwdr * vf
+    off2 = -tmp
+    diag2 = tmp.sum(axis=0)
+
+    vals = alpha * (off1 + off2) * rowf[None, :] * geom.mask
+    diag = alpha * (diag1 + diag2) * rowf
+    return ELL(diag=diag, vals=vals, idx=geom.idx, mask=geom.mask)
+
+
+def gradient_dot_matrix(
+    geom: PairGeom,
+    vfrac: jax.Array,
+    Gc: jax.Array,
+    kind: jax.Array,
+    vec: jax.Array,
+    *,
+    alpha: float,
+    filt: PairFilter,
+    family: Family = SYMMETRIC,
+) -> ELL:
+    """Rows of (vec_i . grad) as a matrix — used for homogeneous-Neumann BC
+    rows n.grad(p)=0 on solid-wall particles and for advection operators
+    (reference functor_gradient_dot_operator_matrix.h composed with the
+    matrix-free gradient rows of functor_gradient_operator.h:91-170).
+
+    vec: (D, N).  Row i (admitted by ``filt``):
+    A[i,j] = alpha * vec_i . (G_i r_ij) dw/r V_j, A[i,i] = -sum_j A[i,j]
+    (symmetric family's self column).
+    """
+    dim = geom.dim
+    dtype = geom.r.dtype
+    G, _ = family.tensors(geom, Gc, None)
+    vf = family.vf(geom, vfrac)
+    pairm = filt.pair(kind, geom).astype(dtype) * geom.mask
+    gr = _g_dot_r(G, geom.rij)
+    aij = sum(vec[b][None, :] * gr[b] for b in range(dim)) * (geom.dwdr / geom.r) * vf * pairm
+    row = filt.row(kind).astype(dtype)
+    vals = alpha * aij * row[None, :]
+    if family.antisymmetric:
+        diag = alpha * aij.sum(axis=0) * row
+    else:
+        diag = -alpha * aij.sum(axis=0) * row
+    return ELL(diag=diag, vals=vals, idx=geom.idx, mask=geom.mask)

@@ -1,0 +1,247 @@
+"""Neighbor engine: cell-binned search producing fixed-width padded lists.
+
+TPU-native replacement for LAMMPS neighbor bins / neigh lists (the reference
+relies on LAMMPS ``neighbor->build`` plus per-pair loops, see SURVEY §2.6).
+Design:
+
+- Static shapes everywhere: the list is (K, N) neighbor indices + mask, with
+  K = cfg.neighbor.max_neighbors.  Overflow is detected (``overflow`` field)
+  and handled by the host with a larger-K recompile — the reference instead
+  reallocates per step (pair_isph.cpp:1244).
+- Search = bin-by-cell (sort + bucketize), gather 3^D neighboring cells'
+  candidate slots, mask by cutoff, compact to K slots per row.
+- Periodic boundaries via minimum image on the displacement; no ghost atoms
+  on a single device (multi-device halos live in isph_tpu.parallel).
+
+LAYOUT RULE: all pair arrays are particle-minor — (K, N), (C, N), (D, K, N) —
+so TPU (8, 128) tiling pads nothing (see state.py docstring).
+
+Padding convention: invalid slots store the row's own index i with mask 0, so
+gathers never go out of bounds and masked contributions vanish.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isph_tpu.state import Domain
+from isph_tpu.ops.kernels import Kernel
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NeighborList:
+    """(K, N) padded neighbor list. idx[k,i] is a neighbor j of i (j != i,
+    r_ij < cutoff), or i itself when mask[k,i]==0."""
+
+    idx: jax.Array  # (K, N) int32
+    mask: jax.Array  # (K, N) bool
+    count: jax.Array  # (N,) int32 — true neighbor count per particle
+    overflow: jax.Array  # () int32 — positive if K or cell capacity overflowed
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PairGeom:
+    """Per-pair geometry + kernel values, computed once per step and shared by
+    every operator (the reference re-evaluates these inside every functor's
+    neighbor loop, e.g. functor_gradient.h:117-131)."""
+
+    idx: jax.Array  # (K, N) int32
+    mask: jax.Array  # (K, N) dtype (0/1 float for cheap multiplies)
+    rij: jax.Array  # (D, K, N) x_i - x_j (minimum image)
+    r: jax.Array  # (K, N) |rij| + eps
+    eij: jax.Array  # (D, K, N) rij / r
+    w: jax.Array  # (K, N) kernel value
+    dwdr: jax.Array  # (K, N) kernel radial derivative
+    w_self: jax.Array  # () kernel value at r=0
+
+    @property
+    def k(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.idx.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.rij.shape[0]
+
+    def gather(self, f: jax.Array) -> jax.Array:
+        """f (N,) -> (K, N); f (D, N) -> (D, K, N)."""
+        if f.ndim == 1:
+            return f[self.idx]
+        return f[:, self.idx]
+
+
+# `ISPH_EPSILON` guard used by the reference when dividing by r
+# (macrodef.h:6); representable in f32 (min normal ~1.2e-38).
+_R_EPS = 1.0e-24
+
+
+def _cell_grid(domain: Domain, cutoff: float) -> Tuple[Tuple[int, ...], Tuple[float, ...]]:
+    """Static cell grid: >=1 cell per axis, cell size >= cutoff."""
+    ncell = []
+    csize = []
+    for ln in domain.length:
+        nc = max(1, int(math.floor(ln / cutoff)))
+        ncell.append(nc)
+        csize.append(ln / nc)
+    return tuple(ncell), tuple(csize)
+
+
+def build_neighbor_list(
+    x: jax.Array,
+    valid: jax.Array,
+    domain: Domain,
+    cutoff: float,
+    max_neighbors: int,
+    cell_capacity: int = 32,
+) -> NeighborList:
+    """Cell-list neighbor search with static shapes.
+
+    All steps are XLA-friendly: one sort over cell ids, one scatter into the
+    (ncells, cap) bucket table, gathers of the 3^D cell neighborhood, and a
+    per-particle compaction (argsort by invalidity along the candidate axis).
+    x is (D, N).
+    """
+    dim, n = x.shape
+    K = max_neighbors
+    cap = cell_capacity
+    ncell, csize = _cell_grid(domain, cutoff)
+    ncells = int(np.prod(ncell))
+
+    xw = domain.wrap(x)
+
+    # --- bin particles -----------------------------------------------------
+    c = []
+    for d in range(dim):
+        cd = jnp.floor((xw[d] - domain.lo[d]) / csize[d]).astype(jnp.int32)
+        c.append(jnp.clip(cd, 0, ncell[d] - 1))
+    strides = [1] * dim
+    for d in range(dim - 2, -1, -1):
+        strides[d] = strides[d + 1] * ncell[d + 1]
+    cid = sum(c[d] * strides[d] for d in range(dim))  # (N,)
+    # park invalid particles in a virtual overflow cell that is never gathered
+    cid = jnp.where(valid, cid, ncells)
+
+    order = jnp.argsort(cid)  # stable
+    sorted_cid = cid[order]
+    starts = jnp.searchsorted(sorted_cid, jnp.arange(ncells + 1, dtype=sorted_cid.dtype))
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[sorted_cid].astype(jnp.int32)
+    cell_overflow = jnp.maximum(rank.max() + 1 - cap, 0)
+
+    # bucket table: (ncells+1, cap), sentinel n for empty slots
+    table = jnp.full((ncells + 1, cap), n, dtype=jnp.int32)
+    table = table.at[sorted_cid, rank].set(order.astype(jnp.int32), mode="drop")
+
+    # --- gather 3^D cell neighborhood → candidates (C, N) ------------------
+    offsets = np.array(
+        np.meshgrid(*([np.array([-1, 0, 1])] * dim), indexing="ij")
+    ).reshape(dim, -1).T  # (3^D, D)
+
+    cand_blocks = []
+    for off in offsets:
+        in_range = jnp.ones((n,), bool)
+        flat = jnp.zeros((n,), jnp.int32)
+        for d in range(dim):
+            cc = c[d] + int(off[d])
+            if domain.periodic[d]:
+                ccw = jnp.mod(cc, ncell[d])
+            else:
+                ccw = jnp.clip(cc, 0, ncell[d] - 1)
+                in_range = in_range & (cc >= 0) & (cc < ncell[d])
+            flat = flat + ccw * strides[d]
+        flat = jnp.where(in_range, flat, ncells)
+        cand_blocks.append(table[flat].T)  # (cap, N)
+    cand = jnp.concatenate(cand_blocks, axis=0)  # (C, N), C = 3^D * cap
+
+    # --- cutoff mask -------------------------------------------------------
+    cand_clipped = jnp.minimum(cand, n - 1)
+    i_idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    rsq = jnp.zeros(cand.shape, xw.dtype)
+    for d in range(dim):
+        rd = domain.minimum_image_axis(xw[d][None, :] - xw[d][cand_clipped], d)
+        rsq = rsq + rd * rd
+    good = (
+        (cand < n)
+        & (cand_clipped != i_idx)
+        & (rsq < cutoff * cutoff)
+        & valid[None, :]
+        & valid[cand_clipped]
+    )
+
+    # --- compact to K slots (stable: valid candidates first) ---------------
+    perm = jnp.argsort(~good, axis=0, stable=True)[:K]
+    idx = jnp.take_along_axis(cand_clipped, perm, axis=0)
+    mask = jnp.take_along_axis(good, perm, axis=0)
+    idx = jnp.where(mask, idx, i_idx)
+
+    count = good.sum(axis=0).astype(jnp.int32)
+    overflow = jnp.maximum(count.max() - K, 0) + cell_overflow
+    return NeighborList(idx=idx, mask=mask, count=count, overflow=overflow.astype(jnp.int32))
+
+
+def build_neighbor_list_bruteforce(
+    x: jax.Array,
+    valid: jax.Array,
+    domain: Domain,
+    cutoff: float,
+    max_neighbors: int,
+) -> NeighborList:
+    """O(N^2) reference builder (for tests and tiny systems).  x: (D, N)."""
+    dim, n = x.shape
+    xw = domain.wrap(x)
+    rsq = jnp.zeros((n, n), xw.dtype)
+    for d in range(dim):
+        rd = domain.minimum_image_axis(xw[d][None, :] - xw[d][:, None], d)
+        rsq = rsq + rd * rd
+    # rsq[j, i] = |x_i - x_j|^2 ; candidate axis leading
+    eye = jnp.eye(n, dtype=bool)
+    good = (rsq < cutoff * cutoff) & ~eye & valid[None, :] & valid[:, None]
+
+    K = max_neighbors
+    perm = jnp.argsort(~good, axis=0, stable=True)[:K]
+    mask = jnp.take_along_axis(good, perm, axis=0)
+    i_idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    idx = jnp.where(mask, perm.astype(jnp.int32), i_idx)
+    count = good.sum(axis=0).astype(jnp.int32)
+    overflow = jnp.maximum(count.max() - K, 0)
+    return NeighborList(idx=idx, mask=mask, count=count, overflow=overflow.astype(jnp.int32))
+
+
+def compute_pair_geometry(
+    x: jax.Array,
+    nbrs: NeighborList,
+    domain: Domain,
+    kernel: Kernel,
+    h: float,
+) -> PairGeom:
+    """Evaluate displacement, distance, unit vector and kernel values for every
+    (k, i) pair slot once; every SPH operator downstream reuses them.
+    x: (D, N)."""
+    dim = x.shape[0]
+    dtype = x.dtype
+    xw = domain.wrap(x)
+    maskf = nbrs.mask.astype(dtype)
+    rij = jnp.stack(
+        [
+            domain.minimum_image_axis(xw[d][None, :] - xw[d][nbrs.idx], d) * maskf
+            for d in range(dim)
+        ]
+    )  # (D, K, N)
+    r = jnp.sqrt(sum(rij[d] * rij[d] for d in range(dim))) + jnp.asarray(_R_EPS, dtype)
+    eij = rij / r
+    w = kernel.w(r, h, dim) * maskf
+    dwdr = kernel.dw(r, h, dim) * maskf
+    w_self = kernel.w(jnp.zeros((), dtype), h, dim)
+    return PairGeom(
+        idx=nbrs.idx, mask=maskf, rij=rij, r=r, eij=eij, w=w, dwdr=dwdr, w_self=w_self
+    )

@@ -1,0 +1,321 @@
+"""Incompressible Navier-Stokes, projection (pressure-correction) scheme.
+
+TPU-native re-design of the reference main loop
+(PairISPH::computeIncompressibleNavierStokes, pair_isph.cpp:910-1034, with
+the Corrected-backend assembly pair_isph_corrected.cpp:868-1052 and the
+equation functors functor_incomp_navier_stokes_{helmholtz,poisson}.h,
+functor_correct_{velocity,pressure}.h, functor_advance_time_{begin,end}.h).
+
+One timestep:
+  1. computePre: Shepard volumes, correction tensors, normals.
+  2. Helmholtz:  (I - theta dt nu L) v* = v + (1-theta) dt nu L v
+                 + dt (f/rho + g - grad p / rho)         [v* = v^{n+1} pred]
+  3. Poisson:    -dt div(1/rho grad) dp = -div v*        [singular handling]
+  4. Correct:    v* -= dt/rho grad dp ;  p (+)= dp  [zero-mean if incremental]
+  5. Advance:    dp_T = grad p . dx, dx = dt/2 (v*+v); p += dp_T; x += dx;
+                 v = v*.
+
+Layout: vectors are (D, N), see state.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from isph_tpu.config import SimulationConfig, SingularPoisson
+from isph_tpu.state import Domain, Kind, ParticleState, Precomputed
+from isph_tpu.ops import corrected as ops
+from isph_tpu.ops.corrected import ANTISYMMETRIC, SYMMETRIC, Family, PairFilter
+from isph_tpu.ops.ell import ELL
+from isph_tpu.ops.neighbors import PairGeom
+from isph_tpu.solvers.krylov import KrylovResult, cg, gmres
+from isph_tpu.solvers.precond import jacobi
+
+
+def family_of(cfg: SimulationConfig) -> Family:
+    return ANTISYMMETRIC if cfg.ns.use_momentum_preserve_operator else SYMMETRIC
+
+
+def compute_pre(state: ParticleState, geom: PairGeom, cfg: SimulationConfig) -> Precomputed:
+    """Reference PairISPH_Corrected::computePre (pair_isph_corrected.cpp:302-430)."""
+    vfrac = ops.shepard_volume(geom)
+    Gc = ops.gradient_correction(geom, vfrac)
+    Lc = ops.laplacian_correction(geom, vfrac, Gc)
+    normal, pnd = ops.interface_normal(geom, vfrac, state.kind, Gc, cfg.h)
+    return Precomputed(vfrac=vfrac, Gc=Gc, Lc=Lc, normal=normal, pnd=pnd)
+
+
+class SolveInfo(NamedTuple):
+    helmholtz: Optional[KrylovResult]
+    poisson: KrylovResult
+
+
+def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=None) -> KrylovResult:
+    sc = cfg.solver
+    M = jacobi(A) if sc.precond == "jacobi" else None
+    if sc.method == "cg":
+        return cg(A.matvec, b, x0, M=M, tol=sc.tol, maxiter=sc.max_iters,
+                  null_vec=null_vec, axis_name=axis_name)
+    return gmres(A.matvec, b, x0, M=M, tol=sc.tol, restart=sc.restart,
+                 max_restarts=sc.max_restarts, null_vec=null_vec, axis_name=axis_name)
+
+
+def _fluid_pair_coeff(state: ParticleState, geom: PairGeom, jset: int) -> jax.Array:
+    dtype = state.dtype
+    return PairFilter(Kind.FLUID, jset).pair(state.kind, geom).astype(dtype) * geom.mask
+
+
+# ---------------------------------------------------------------------------
+# Helmholtz (momentum predictor)
+# ---------------------------------------------------------------------------
+
+def helmholtz_system(
+    state: ParticleState,
+    geom: PairGeom,
+    pre: Precomputed,
+    cfg: SimulationConfig,
+) -> Tuple[ELL, jax.Array]:
+    """Build the viscous Helmholtz system (functor_incomp_navier_stokes_helmholtz.h:52-159).
+
+    Returns (A, b) with A the (I - theta dt nu L) operator on fluid rows /
+    unit rows on solid, and b the (D, N) right-hand side.
+    """
+    fam = family_of(cfg)
+    dt, theta = cfg.dt, cfg.ns.theta
+    dtype = state.dtype
+    mu = state.nu * state.rho
+
+    filt = PairFilter(Kind.FLUID, Kind.ALL)
+    A = ops.laplacian_matrix(
+        geom, pre.vfrac, pre.Gc, pre.Lc, state.kind,
+        alpha=dt, material=mu, filt=filt, family=fam,
+    )
+    # LeftScale by 1/rho: A = dt/rho * div(mu grad)
+    A = A.left_scale(1.0 / state.rho)
+
+    # w = A v (explicit viscous part), b = v + (1-theta) w + dt (f/rho + g)
+    w = A.matvec(state.v)
+    b = state.v + (1.0 - theta) * w
+    g = jnp.asarray(cfg.ns.g[: state.dim], dtype)
+    body = dt * (state.f / state.rho[None, :] + g[:, None])
+    fluid = state.is_fluid
+    b = jnp.where(fluid[None, :], b + body, b)
+
+    if cfg.ns.use_incremental_pressure:
+        grad_p = ops.gradient(
+            geom, pre.vfrac, pre.Gc, state.p, family=fam,
+            coeff=_fluid_pair_coeff(state, geom, Kind.FLUID), row_mask=fluid,
+        )
+        b = jnp.where(fluid[None, :], b - dt / state.rho[None, :] * grad_p, b)
+
+    # LHS: A <- -theta A; diag: solid -> 1, fluid -> 1 + diag
+    A = A.scale(-theta)
+    solid = state.is_solid
+    diag = jnp.where(solid, jnp.asarray(1.0, dtype), 1.0 + A.diag)
+    A = A.with_diag(diag).zero_rows(solid)
+    return A, b
+
+
+def solve_helmholtz(
+    state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig,
+    *, axis_name=None,
+) -> Tuple[jax.Array, Optional[KrylovResult]]:
+    """Returns v* (and solver info).  For |theta| < eps the system is the
+    identity and the reference copies b into x (pair_isph.cpp:964-966)."""
+    A, b = helmholtz_system(state, geom, pre, cfg)
+    if abs(cfg.ns.theta) < 1e-14:
+        return b, None
+    # multivector solve: one Krylov run per velocity component (Belos Block
+    # GMRES on the [N x D] multivector, pair_isph.cpp:936-971)
+    res = jax.vmap(
+        lambda bc, xc: _solve(cfg, A, bc, xc, axis_name=axis_name),
+        in_axes=0, out_axes=0,
+    )(b, state.v)
+    return res.x, res
+
+
+# ---------------------------------------------------------------------------
+# Pressure Poisson
+# ---------------------------------------------------------------------------
+
+def poisson_system(
+    state: ParticleState,
+    geom: PairGeom,
+    pre: Precomputed,
+    cfg: SimulationConfig,
+    vstar: jax.Array,
+) -> Tuple[ELL, jax.Array]:
+    """Build -dt div(1/rho grad) dp = -div v*
+    (functor_incomp_navier_stokes_poisson.h:52-181)."""
+    fam = family_of(cfg)
+    dt = cfg.dt
+    dtype = state.dtype
+    singular = cfg.ns.singular_poisson
+
+    if singular == SingularPoisson.NOT_SINGULAR:
+        filt = PairFilter(Kind.FLUID, Kind.ALL)
+        homogeneous_neumann = False
+    else:
+        filt = PairFilter(Kind.FLUID, Kind.FLUID)
+        homogeneous_neumann = True
+
+    A = ops.laplacian_matrix(
+        geom, pre.vfrac, pre.Gc, pre.Lc, state.kind,
+        alpha=-dt, material=1.0 / state.rho, filt=filt, family=fam,
+    )
+
+    solid = state.is_solid
+    has_normal = None
+    if homogeneous_neumann and pre.normal is not None:
+        # homogeneous-Neumann rows n . grad dp = 0 on solid particles with a
+        # wall normal (functor_gradient_dot_operator_matrix.h via
+        # functor_incomp_navier_stokes_poisson.h:98-107)
+        nsq = sum(pre.normal[d] * pre.normal[d] for d in range(state.dim))
+        has_normal = nsq > 0.5
+        Agd = ops.gradient_dot_matrix(
+            geom, pre.vfrac, pre.Gc, state.kind, pre.normal,
+            alpha=-dt, filt=PairFilter(Kind.SOLID | Kind.BOUNDARY, Kind.ALL),
+            family=SYMMETRIC,
+        )
+        A = A.add(Agd)
+
+    # rhs: fluid -> -div(v*); solid -> 0
+    div = ops.divergence(
+        geom, pre.vfrac, pre.Gc, vstar, family=fam,
+        coeff=_fluid_pair_coeff(state, geom, Kind.ALL), row_mask=state.is_fluid,
+    )
+    b = jnp.where(state.is_fluid, -div, 0.0)
+
+    # diagonal bookkeeping: solid rows without a Neumann row get unit diagonal
+    if has_normal is None:
+        unit_rows = solid
+    else:
+        unit_rows = solid & ~has_normal
+    diag = jnp.where(unit_rows, jnp.asarray(1.0, dtype), A.diag)
+    A = A.with_diag(diag)
+
+    # singular fixups applied to the first fluid row (modifySingularMatrix,
+    # pair_isph.cpp:493-520)
+    if singular == SingularPoisson.PIN_ZERO:
+        pin = jnp.argmax(state.is_fluid)
+        onehot = jnp.arange(state.n) == pin
+        A = A.zero_rows(onehot)
+        A = A.with_diag(jnp.where(onehot, jnp.asarray(-1.0, dtype), A.diag))
+        b = jnp.where(onehot, 0.0, b)
+    elif singular == SingularPoisson.DOUBLE_DIAG:
+        pin = jnp.argmax(state.is_fluid)
+        onehot = jnp.arange(state.n) == pin
+        A = A.with_diag(jnp.where(onehot, 1.5 * A.diag, A.diag))
+
+    return A, b
+
+
+def solve_poisson(
+    state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig,
+    vstar: jax.Array, *, axis_name=None,
+) -> Tuple[jax.Array, KrylovResult]:
+    A, b = poisson_system(state, geom, pre, cfg, vstar)
+    null_vec = None
+    if cfg.ns.singular_poisson == SingularPoisson.NULL_SPACE:
+        # constant null vector masked to fluid rows (pair_isph.cpp:996-1005)
+        null_vec = (state.is_fluid & state.valid).astype(state.dtype)
+    x0 = jnp.zeros_like(b)  # setInitialSolution(Zero), pair_isph.cpp:1010
+    res = _solve(cfg, A, b, x0, null_vec=null_vec, axis_name=axis_name)
+    return res.x, res
+
+
+def zero_mean_pressure(p: jax.Array, state: ParticleState, *, axis_name=None) -> jax.Array:
+    """Zero-mean over fluid rows; solid pressure cleaned to 0
+    (PairISPH::computeZeroMeanPressure, pair_isph.cpp:422-464)."""
+    fluid = state.is_fluid & state.valid
+    fl = fluid.astype(p.dtype)
+    s = (p * fl).sum()
+    c = fl.sum()
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        c = jax.lax.psum(c, axis_name)
+    mean = s / jnp.maximum(c, 1.0)
+    p = jnp.where(state.is_solid, 0.0, p - mean)
+    return jnp.where(state.valid, p, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Corrections + time advance
+# ---------------------------------------------------------------------------
+
+def correct_velocity(
+    state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig,
+    vstar: jax.Array, dp: jax.Array,
+) -> jax.Array:
+    """v* <- v* - dt/rho grad(dp) on fluid (functor_correct_velocity.h)."""
+    fam = family_of(cfg)
+    fluid = state.is_fluid
+    grad_dp = ops.gradient(
+        geom, pre.vfrac, pre.Gc, dp, family=fam,
+        coeff=_fluid_pair_coeff(state, geom, Kind.FLUID), row_mask=fluid,
+    )
+    upd = vstar - cfg.dt / state.rho[None, :] * grad_dp
+    return jnp.where(fluid[None, :], upd, vstar)
+
+
+def correct_pressure(state: ParticleState, cfg: SimulationConfig, dp: jax.Array) -> jax.Array:
+    """p (+)= dp for all particles (functor_correct_pressure.h)."""
+    if cfg.ns.use_incremental_pressure:
+        return state.p + dp
+    return dp
+
+
+def advance_time(
+    state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig,
+    domain: Domain,
+) -> ParticleState:
+    """Reference FunctorAdvanceTimeBegin/End (functor_advance_time_{begin,end}.h):
+    Taylor-transport the pressure to the new particle position, then midpoint
+    move and swap v <- v*."""
+    fam = family_of(cfg)
+    dt = cfg.dt
+    fluid = state.is_fluid
+    dx = 0.5 * dt * (state.vstar + state.v)  # (D, N)
+
+    grad_p = ops.gradient(
+        geom, pre.vfrac, pre.Gc, state.p, family=fam,
+        coeff=_fluid_pair_coeff(state, geom, Kind.FLUID), row_mask=fluid,
+    )
+    dpT = jnp.where(fluid, (grad_p * dx).sum(axis=0), 0.0)
+
+    # fixed (solid/boundary) particles: only v <- v* (they may carry wall velocity)
+    moving = fluid & state.valid
+    p_new = jnp.where(moving, state.p + dpT, state.p)
+    x_new = jnp.where(moving[None, :], state.x + dx, state.x)
+    x_new = domain.wrap(x_new)
+    v_new = jnp.where(state.valid[None, :], state.vstar, state.v)
+    return state.replace(x=x_new, v=v_new, p=p_new, dp=jnp.where(moving, dpT, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Full NS sub-step (Helmholtz -> Poisson -> correct)
+# ---------------------------------------------------------------------------
+
+def navier_stokes_step(
+    state: ParticleState,
+    geom: PairGeom,
+    pre: Precomputed,
+    cfg: SimulationConfig,
+    *,
+    axis_name=None,
+) -> Tuple[ParticleState, SolveInfo]:
+    """computeIncompressibleNavierStokes (pair_isph.cpp:910-1034): returns the
+    state with updated (vstar, dp, p); positions unchanged (advance_time is a
+    separate call, as in FixISPH::final_integrate)."""
+    vstar, hinfo = solve_helmholtz(state, geom, pre, cfg, axis_name=axis_name)
+    dp, pinfo = solve_poisson(state, geom, pre, cfg, vstar, axis_name=axis_name)
+    if cfg.ns.use_incremental_pressure:
+        dp = zero_mean_pressure(dp, state, axis_name=axis_name)
+    vstar = correct_velocity(state, geom, pre, cfg, vstar, dp)
+    p = correct_pressure(state, cfg, dp)
+    p = jnp.where(state.is_solid, 0.0, p)
+    state = state.replace(vstar=vstar, dp=dp, p=p)
+    return state, SolveInfo(helmholtz=hinfo, poisson=pinfo)

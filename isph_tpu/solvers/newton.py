@@ -1,0 +1,72 @@
+"""Newton-Krylov driver.
+
+TPU-native replacement for the NOX wrapper stack (reference solver_nox.h,
+solver_nox_impl.h, solver_nox_stratimikos.h): full-step Newton with analytic
+Jacobian reassembly each iteration, inner GMRES at loose tolerance, and the
+reference's combo stopping test NormF<=tol_f AND NormUpdate<=tol_update OR
+max iterations (solver_nox_impl.h:125-153).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from isph_tpu.solvers.krylov import gmres, _norm
+from isph_tpu.solvers.precond import jacobi
+
+
+class NewtonResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array
+    norm_f: jax.Array
+    converged: jax.Array
+
+
+def newton_krylov(
+    residual: Callable,  # x -> F(x)
+    jacobian: Callable,  # x -> ELL (analytic Jacobian, reassembled per iter)
+    x0: jax.Array,
+    *,
+    tol_f: float = 1.0e-8,
+    tol_update: float = 1.0e-5,
+    max_iters: int = 100,
+    linear_tol: float = 1.0e-6,
+    linear_restart: int = 80,
+    axis_name: Optional[str] = None,
+) -> NewtonResult:
+    n = x0.shape[0]
+
+    def cond(carry):
+        x, it, nf, nupd = carry
+        not_conv = ~((nf <= tol_f) & (nupd <= tol_update))
+        return not_conv & (it < max_iters)
+
+    def body(carry):
+        x, it, _, _ = carry
+        f = residual(x)
+        J = jacobian(x)
+        res = gmres(
+            J.matvec,
+            -f,
+            M=jacobi(J),
+            tol=linear_tol,
+            restart=linear_restart,
+            max_restarts=1,
+            axis_name=axis_name,
+        )
+        dx = res.x
+        x_new = x + dx
+        nf = _norm(residual(x_new), axis_name)
+        # scaled update norm (NOX NormUpdate uses a WRMS-like 2-norm)
+        nupd = _norm(dx, axis_name) / jnp.sqrt(jnp.asarray(n, x0.dtype))
+        return (x_new, it + 1, nf, nupd)
+
+    big = jnp.asarray(jnp.inf, x0.dtype)
+    x, it, nf, nupd = lax.while_loop(
+        cond, body, (x0, jnp.asarray(0, jnp.int32), big, big)
+    )
+    return NewtonResult(x=x, iters=it, norm_f=nf, converged=(nf <= tol_f))

@@ -1,0 +1,91 @@
+"""Closed-form small dense inverses/solves on leading-axis tensors.
+
+TPU-native replacement for the reference's LAPACK helpers
+(utils_reference.h:18-122 invertDenseMatrix/solveDenseMatrix): the per-particle
+2x2/3x3 (and packed 3x3/6x6) systems are solved with cofactor formulas on
+arrays of shape (D, D, N) — the particle axis stays minor so everything tiles
+as (8, 128) with no padding waste, and no LU custom-calls are needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def inv2(G):
+    """G: (2, 2, N) -> inverse (2, 2, N)."""
+    a, b = G[0, 0], G[0, 1]
+    c, d = G[1, 0], G[1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / det
+    return jnp.stack(
+        [
+            jnp.stack([d * inv_det, -b * inv_det]),
+            jnp.stack([-c * inv_det, a * inv_det]),
+        ]
+    )
+
+
+def inv3(G):
+    """G: (3, 3, N) -> inverse via cofactors."""
+    c00 = G[1, 1] * G[2, 2] - G[1, 2] * G[2, 1]
+    c01 = G[0, 2] * G[2, 1] - G[0, 1] * G[2, 2]
+    c02 = G[0, 1] * G[1, 2] - G[0, 2] * G[1, 1]
+    c10 = G[1, 2] * G[2, 0] - G[1, 0] * G[2, 2]
+    c11 = G[0, 0] * G[2, 2] - G[0, 2] * G[2, 0]
+    c12 = G[0, 2] * G[1, 0] - G[0, 0] * G[1, 2]
+    c20 = G[1, 0] * G[2, 1] - G[1, 1] * G[2, 0]
+    c21 = G[0, 1] * G[2, 0] - G[0, 0] * G[2, 1]
+    c22 = G[0, 0] * G[1, 1] - G[0, 1] * G[1, 0]
+    det = G[0, 0] * c00 + G[0, 1] * c10 + G[0, 2] * c20
+    inv_det = 1.0 / det
+    return jnp.stack(
+        [
+            jnp.stack([c00, c01, c02]),
+            jnp.stack([c10, c11, c12]),
+            jnp.stack([c20, c21, c22]),
+        ]
+    ) * inv_det
+
+
+def inv_dd(G):
+    """Dispatch on leading square dims (2 or 3)."""
+    d = G.shape[0]
+    if d == 2:
+        return inv2(G)
+    if d == 3:
+        return inv3(G)
+    raise ValueError(f"unsupported dim {d}")
+
+
+def solve_leading(A, b):
+    """Solve A x = b for A: (M, M, N), b: (M, N) with Gaussian elimination with
+    partial-pivot-free (diagonally dominant / SPD-ish systems) for M<=6.
+
+    Used for the packed Laplacian-correction system (M = D(D+1)/2 = 3 or 6).
+    Unrolled at trace time; all arrays stay particle-minor.
+    """
+    m = A.shape[0]
+    if m == 2:
+        X = inv2(A)
+        return jnp.stack([X[0, 0] * b[0] + X[0, 1] * b[1], X[1, 0] * b[0] + X[1, 1] * b[1]])
+    if m == 3:
+        X = inv3(A)
+        return jnp.einsum("ijn,jn->in", X, b)
+    # generic unrolled LU (no pivoting) for small m
+    A = [[A[i, j] for j in range(m)] for i in range(m)]
+    b = [b[i] for i in range(m)]
+    for k in range(m):
+        piv = 1.0 / A[k][k]
+        for i in range(k + 1, m):
+            f = A[i][k] * piv
+            for j in range(k + 1, m):
+                A[i][j] = A[i][j] - f * A[k][j]
+            b[i] = b[i] - f * b[k]
+    x = [None] * m
+    for i in range(m - 1, -1, -1):
+        s = b[i]
+        for j in range(i + 1, m):
+            s = s - A[i][j] * x[j]
+        x[i] = s / A[i][i]
+    return jnp.stack(x)

@@ -1,0 +1,22 @@
+"""Test configuration.
+
+- Forces the CPU backend (the environment routes JAX to a remote TPU via the
+  'axon' plugin by default; JAX_PLATFORMS env is overridden, so we set the
+  platform through jax.config before any computation).
+- Enables x64: the reference accuracy bars (SURVEY §6) are ~1e-6 absolute with
+  1e-8 solver tolerances, which requires f64 verification runs.  TPU
+  production runs use f32; dtype is a config knob.
+- Requests 8 virtual CPU devices so multi-device sharding tests run without a
+  TPU pod (SURVEY §4: multi-device tests via host platform device count).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,85 @@
+"""Neighbor engine tests: cell list vs brute force, periodic images, padding.
+
+Layout note: positions are (D, N), neighbor lists (K, N) (state.py layout rule).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isph_tpu.state import Domain
+from isph_tpu.ops.neighbors import (
+    build_neighbor_list,
+    build_neighbor_list_bruteforce,
+    compute_pair_geometry,
+)
+from isph_tpu.ops.kernels import get_kernel
+
+
+def _pairs(nbrs):
+    idx = np.asarray(nbrs.idx)  # (K, N)
+    mask = np.asarray(nbrs.mask)
+    out = set()
+    for i in range(idx.shape[1]):
+        for k in range(idx.shape[0]):
+            if mask[k, i]:
+                out.add((i, int(idx[k, i])))
+    return out
+
+
+@pytest.mark.parametrize("periodic", [(True, True), (False, False), (True, False)])
+def test_cell_list_matches_bruteforce_2d(periodic):
+    rng = np.random.default_rng(42)
+    n = 200
+    dom = Domain(lo=(0.0, 0.0), hi=(1.0, 1.3), periodic=periodic)
+    x = jnp.asarray(rng.uniform([0, 0], [1.0, 1.3], size=(n, 2)).T)
+    valid = jnp.ones(n, bool)
+    cutoff = 0.21
+
+    a = build_neighbor_list(x, valid, dom, cutoff, max_neighbors=64, cell_capacity=64)
+    b = build_neighbor_list_bruteforce(x, valid, dom, cutoff, max_neighbors=64)
+    assert int(a.overflow) == 0 and int(b.overflow) == 0
+    assert _pairs(a) == _pairs(b)
+    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+
+
+def test_cell_list_matches_bruteforce_3d():
+    rng = np.random.default_rng(7)
+    n = 150
+    dom = Domain(lo=(0.0, 0.0, 0.0), hi=(1.0, 1.0, 1.0), periodic=(True, True, True))
+    x = jnp.asarray(rng.uniform(size=(3, n)))
+    valid = jnp.ones(n, bool)
+    cutoff = 0.3
+    a = build_neighbor_list(x, valid, dom, cutoff, max_neighbors=96, cell_capacity=64)
+    b = build_neighbor_list_bruteforce(x, valid, dom, cutoff, max_neighbors=96)
+    assert _pairs(a) == _pairs(b)
+
+
+def test_padding_particles_excluded():
+    dom = Domain(lo=(0.0, 0.0), hi=(1.0, 1.0), periodic=(True, True))
+    x = jnp.asarray([[0.5, 0.55, 0.0], [0.5, 0.5, 0.0]])
+    valid = jnp.asarray([True, True, False])
+    nbrs = build_neighbor_list(x, valid, dom, 0.2, max_neighbors=4, cell_capacity=8)
+    assert int(nbrs.count[0]) == 1 and int(nbrs.count[1]) == 1
+    assert int(nbrs.count[2]) == 0
+
+
+def test_overflow_detection():
+    dom = Domain(lo=(0.0, 0.0), hi=(1.0, 1.0), periodic=(True, True))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0.45, 0.55, size=(2, 20)))  # everyone close
+    valid = jnp.ones(20, bool)
+    nbrs = build_neighbor_list_bruteforce(x, valid, dom, 0.5, max_neighbors=8)
+    assert int(nbrs.overflow) > 0
+
+
+def test_minimum_image_geometry():
+    dom = Domain(lo=(0.0, 0.0), hi=(1.0, 1.0), periodic=(True, True))
+    x = jnp.asarray([[0.05, 0.95], [0.5, 0.5]])  # neighbors across the boundary
+    valid = jnp.ones(2, bool)
+    nbrs = build_neighbor_list(x, valid, dom, 0.2, max_neighbors=4, cell_capacity=8)
+    assert int(nbrs.count.sum()) == 2
+    geom = compute_pair_geometry(x, nbrs, dom, get_kernel("Wendland"), 0.1)
+    r = np.asarray(geom.r)[np.asarray(geom.mask) > 0]
+    np.testing.assert_allclose(r, 0.1, rtol=1e-12)
