@@ -60,7 +60,9 @@ class SolverConfig:
     restart: int = 50  # GMRES basis size ("Num Blocks")
     max_restarts: int = 15
     max_iters: int = 500
-    precond: str = "jacobi"  # "none" | "jacobi"
+    precond: str = "jacobi"  # "none" | "jacobi" | "amg"; the Poisson solve
+    # upgrades "jacobi"/"amg" to the AMG V-cycle when domain info is in scope
+    # (the reference pairs Belos with ML AMG for the same systems)
 
 
 @dataclasses.dataclass(frozen=True)

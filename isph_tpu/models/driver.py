@@ -80,7 +80,7 @@ class Simulation:
         pre = self.precompute(state, geom)
 
         state, info = ns_projection.navier_stokes_step(
-            state, geom, pre, cfg, axis_name=axis_name
+            state, geom, pre, cfg, domain=self.domain, axis_name=axis_name
         )
         state = ns_projection.advance_time(state, geom, pre, cfg, self.domain)
 

@@ -108,6 +108,11 @@ def gradient_correction(geom: PairGeom, vfrac: jax.Array) -> jax.Array:
             for a in range(dim)
         ]
     )  # (D, D, N)
+    # neighborless (padding/isolated) particles have a singular G; pin to the
+    # identity so no NaN can leak into masked-out rows downstream
+    lonely = (geom.mask.sum(axis=0) == 0).astype(G.dtype)
+    eye = jnp.eye(dim, dtype=G.dtype)[:, :, None]
+    G = G + eye * lonely[None, None, :]
     return dense.inv_dd(G)
 
 
@@ -161,37 +166,75 @@ def laplacian_correction(geom: PairGeom, vfrac: jax.Array, Gc: jax.Array) -> jax
         ]
     )
 
+    # neighborless particles: L is singular; pin to identity (values are
+    # irrelevant — every use is masked — but must be finite)
+    lonely = (geom.mask.sum(axis=0) == 0).astype(dtype)
+    eyep = jnp.eye(dl, dtype=dtype)[:, :, None]
+    L = L + eyep * lonely[None, None, :]
+
     rhs_np = -packed_identity(dim)
     rhs = jnp.broadcast_to(jnp.asarray(rhs_np, dtype)[:, None], (dl, geom.n))
     return dense.solve_leading(L, rhs)
 
 
 def interface_normal(geom: PairGeom, vfrac: jax.Array, kind: jax.Array, Gc: jax.Array, h: float):
-    """Interface normals + particle number density (functor_normal.h).
+    """Interface normals + particle number density (functor_normal.h:58-133,
+    driven as in PairISPH_Corrected::computeNormals pair_isph_corrected.cpp:374-430).
 
-    Color-gradient normals from the kind indicator; a normal is kept only
-    where its magnitude is significant (near an interface).  Returns
-    ((D, N) normal, (N,) pnd).
+    Two passes merged: fluid rows accumulate over solid neighbors with
+    orientation -1, solid rows over fluid neighbors with orientation +1, so
+    normals point from solid into fluid.  Each corrected-gradient contribution
+    is (G_i r_ij) dw/r V_j; the result is normalized (zero away from walls).
+    pnd_i sums kernel values over SAME-side neighbors + self
+    (functor_normal.h:108-115) — the Morris-Holmes wall-distance input.
+    Returns ((D, N) normal, (N,) pnd).
     """
     dim = geom.dim
     dtype = geom.r.dtype
     solid = Kind.SOLID | Kind.BOUNDARY
-    ci = ((kind & solid) != 0).astype(dtype)  # color: 1 solid, 0 fluid
-    cj = ci[geom.idx]
+    si = ((kind & solid) != 0).astype(dtype)  # 1 solid, 0 fluid
+    sj = si[geom.idx]
     vj = vfrac[geom.idx] * geom.mask
 
-    coef = (cj - ci[None, :]) * geom.dwdr / geom.r * vj  # (K, N)
+    # cross-side pairs get the orientation of the row's kind
+    cross = (sj != si[None, :]).astype(dtype) * geom.mask
+    orient = jnp.where(si > 0.5, 1.0, -1.0)[None, :]  # solid +1, fluid -1
+    coef = orient * cross * geom.dwdr / geom.r * vj  # (K, N)
     gr = _g_dot_r(Gc, geom.rij)  # (D, K, N)
     grad_c = jnp.stack([(gr[b] * coef).sum(axis=0) for b in range(dim)])  # (D, N)
 
     mag = jnp.sqrt(sum(grad_c[d] * grad_c[d] for d in range(dim)))
-    near = mag > 0.01 / h
-    normal = jnp.where(near[None, :], grad_c / jnp.maximum(mag, 1e-30)[None, :], 0.0)
-    sign = jnp.where(ci > 0.5, 1.0, -1.0)
-    normal = normal * sign[None, :]
+    normal = jnp.where(mag[None, :] > 0.0, grad_c / jnp.maximum(mag, 1e-300)[None, :], 0.0)
 
-    pnd = geom.w_self + (geom.w * geom.mask).sum(axis=0)
+    same = (1.0 - cross) * geom.mask
+    pnd = geom.w_self + (geom.w * same).sum(axis=0)
     return normal, pnd
+
+
+def morris_holmes_mirror(
+    geom: PairGeom,
+    kind: jax.Array,
+    pnd: jax.Array,
+    vfrac: jax.Array,
+    cut: float,
+    h: float,
+    safe: float = 0.43301,
+) -> jax.Array:
+    """Morris-Holmes wall-mirroring coefficient per pair (K, N)
+    (mirror_morris_holmes.h:47-53, called with r = cut).
+
+    xi = pnd * vfrac is the same-side kernel occupancy (1 in the bulk, 0.5 at
+    the wall); d = 2 cut (xi - 0.5) approximates the wall distance.
+    coeff_ij = 1 + d_j / max(d_i, safe h); ``safe`` defaults to sqrt(3)/4
+    (pair_isph_corrected.cpp:1312-1316).  Only consumed for fluid-i/solid-j
+    pairs by :func:`pair_coeff`.
+    """
+    eps = 1.0e-24
+    xi = pnd * vfrac
+    d = 2.0 * cut * (xi - 0.5) + eps
+    d_i = d[None, :]
+    d_j = d[geom.idx]
+    return 1.0 + d_j / jnp.maximum(d_i, safe * h)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from isph_tpu.config import SimulationConfig, SingularPoisson
+from isph_tpu.config import BoundaryCond, SimulationConfig, SingularPoisson
 from isph_tpu.state import Domain, Kind, ParticleState, Precomputed
 from isph_tpu.ops import corrected as ops
 from isph_tpu.ops.corrected import ANTISYMMETRIC, SYMMETRIC, Family, PairFilter
@@ -33,6 +33,7 @@ from isph_tpu.ops.ell import ELL
 from isph_tpu.ops.neighbors import PairGeom
 from isph_tpu.solvers.krylov import KrylovResult, cg, gmres
 from isph_tpu.solvers.precond import jacobi
+from isph_tpu.solvers.amg import build_amg
 
 
 def family_of(cfg: SimulationConfig) -> Family:
@@ -53,9 +54,17 @@ class SolveInfo(NamedTuple):
     poisson: KrylovResult
 
 
-def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=None) -> KrylovResult:
+def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=None,
+           amg: Optional[Tuple] = None) -> KrylovResult:
     sc = cfg.solver
-    M = jacobi(A) if sc.precond == "jacobi" else None
+    if amg is not None and sc.precond in ("amg", "jacobi"):
+        # AMG hierarchy (replaces ML, precond_ml.h); amg = (x, domain, cutoff)
+        x_pos, domain, cutoff = amg
+        M = build_amg(A, x_pos, domain, cutoff).apply
+    elif sc.precond == "jacobi":
+        M = jacobi(A)
+    else:
+        M = None
     if sc.method == "cg":
         return cg(A.matvec, b, x0, M=M, tol=sc.tol, maxiter=sc.max_iters,
                   null_vec=null_vec, axis_name=axis_name)
@@ -66,6 +75,16 @@ def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=Non
 def _fluid_pair_coeff(state: ParticleState, geom: PairGeom, jset: int) -> jax.Array:
     dtype = state.dtype
     return PairFilter(Kind.FLUID, jset).pair(state.kind, geom).astype(dtype) * geom.mask
+
+
+def _mirror(state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig):
+    """Morris-Holmes mirror coefficients (K, N) when that wall treatment is
+    selected, else None (MirrorNothing)."""
+    if cfg.ns.boundary != BoundaryCond.MORRIS_HOLMES:
+        return None
+    return ops.morris_holmes_mirror(
+        geom, state.kind, pre.pnd, pre.vfrac, cfg.cut, cfg.h
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -92,6 +111,7 @@ def helmholtz_system(
     A = ops.laplacian_matrix(
         geom, pre.vfrac, pre.Gc, pre.Lc, state.kind,
         alpha=dt, material=mu, filt=filt, family=fam,
+        mirror=_mirror(state, geom, pre, cfg),
     )
     # LeftScale by 1/rho: A = dt/rho * div(mu grad)
     A = A.left_scale(1.0 / state.rho)
@@ -182,10 +202,17 @@ def poisson_system(
         )
         A = A.add(Agd)
 
-    # rhs: fluid -> -div(v*); solid -> 0
+    # rhs: fluid -> -div(v*); solid -> 0.  With MorrisHolmes walls the
+    # divergence uses the mirror coefficient on fluid-solid pairs
+    # (Divergence_MorrisHolmes in the reference Poisson typedefs,
+    # pair_isph_corrected.cpp:174-178); the Poisson matrix itself stays plain.
+    div_coeff = ops.pair_coeff(
+        state.kind, geom, PairFilter(Kind.FLUID, Kind.ALL),
+        _mirror(state, geom, pre, cfg),
+    ) * geom.mask
     div = ops.divergence(
         geom, pre.vfrac, pre.Gc, vstar, family=fam,
-        coeff=_fluid_pair_coeff(state, geom, Kind.ALL), row_mask=state.is_fluid,
+        coeff=div_coeff, row_mask=state.is_fluid,
     )
     b = jnp.where(state.is_fluid, -div, 0.0)
 
@@ -215,15 +242,54 @@ def poisson_system(
 
 def solve_poisson(
     state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig,
-    vstar: jax.Array, *, axis_name=None,
+    vstar: jax.Array, *, domain: Optional[Domain] = None, axis_name=None,
 ) -> Tuple[jax.Array, KrylovResult]:
+    """Solve the pressure Poisson system.
+
+    With homogeneous-Neumann walls the assembled system is BLOCK TRIANGULAR:
+    fluid rows touch only fluid columns (filter (F,F)), and the wall-normal
+    solid rows (n.grad dp = 0) only determine the solid pressure extension,
+    which no downstream fluid update consumes (correct_velocity/advance_time
+    gradients filter (Fluid, Fluid)).  Solving the fluid block alone makes
+    the fluid-constant null-vector deflation EXACT (the monolithic system's
+    true null vector has wall-solid components the reference's fluid-only
+    deflation misses, which stalls restarted GMRES); the wall rows are then
+    relaxed separately for diagnostics parity.
+    """
     A, b = poisson_system(state, geom, pre, cfg, vstar)
+    dtype = state.dtype
     null_vec = None
     if cfg.ns.singular_poisson == SingularPoisson.NULL_SPACE:
         # constant null vector masked to fluid rows (pair_isph.cpp:996-1005)
-        null_vec = (state.is_fluid & state.valid).astype(state.dtype)
+        null_vec = (state.is_fluid & state.valid).astype(dtype)
     x0 = jnp.zeros_like(b)  # setInitialSolution(Zero), pair_isph.cpp:1010
-    res = _solve(cfg, A, b, x0, null_vec=null_vec, axis_name=axis_name)
+
+    amg = None
+    if domain is not None:
+        amg = (state.x, domain, cfg.cut)
+
+    homogeneous_neumann = cfg.ns.singular_poisson != SingularPoisson.NOT_SINGULAR
+    if homogeneous_neumann:
+        fluid_rows = state.is_fluid & state.valid
+        A_f = A.zero_rows(~fluid_rows).with_diag(
+            jnp.where(fluid_rows, A.diag, jnp.asarray(1.0, dtype))
+        )
+        b_f = jnp.where(fluid_rows, b, 0.0)
+        res = _solve(cfg, A_f, b_f, x0, null_vec=null_vec, axis_name=axis_name, amg=amg)
+        dp = res.x
+        # wall pressure extension: relax the Neumann rows of the full system
+        # (solid dp; only diagnostics/output consume it)
+        nsq = sum(pre.normal[d] * pre.normal[d] for d in range(state.dim))
+        wall = state.is_solid & (nsq > 0.5)
+        l1 = jnp.abs(A.diag) + (jnp.abs(A.vals) * A.mask).sum(axis=0)
+        sgn = jnp.where(A.diag < 0, -1.0, 1.0)
+        dinv = sgn / jnp.maximum(l1, 1e-300)
+        wallf = wall.astype(dtype)
+        for _ in range(20):
+            dp = dp + wallf * dinv * (b - A.matvec(dp))
+        return dp, res
+
+    res = _solve(cfg, A, b, x0, null_vec=null_vec, axis_name=axis_name, amg=amg)
     return res.x, res
 
 
@@ -305,13 +371,14 @@ def navier_stokes_step(
     pre: Precomputed,
     cfg: SimulationConfig,
     *,
+    domain: Optional[Domain] = None,
     axis_name=None,
 ) -> Tuple[ParticleState, SolveInfo]:
     """computeIncompressibleNavierStokes (pair_isph.cpp:910-1034): returns the
     state with updated (vstar, dp, p); positions unchanged (advance_time is a
     separate call, as in FixISPH::final_integrate)."""
     vstar, hinfo = solve_helmholtz(state, geom, pre, cfg, axis_name=axis_name)
-    dp, pinfo = solve_poisson(state, geom, pre, cfg, vstar, axis_name=axis_name)
+    dp, pinfo = solve_poisson(state, geom, pre, cfg, vstar, domain=domain, axis_name=axis_name)
     if cfg.ns.use_incremental_pressure:
         dp = zero_mean_pressure(dp, state, axis_name=axis_name)
     vstar = correct_velocity(state, geom, pre, cfg, vstar, dp)

@@ -1,0 +1,304 @@
+"""Aggregation AMG preconditioner on the particle neighbor graph.
+
+TPU-native replacement for the reference's ML smoothed-aggregation AMG
+(precond_ml.h:40-60: uncoupled aggregation, sym-Gauss-Seidel smoothing,
+Amesos-KLU coarse solve).  The TPU re-design exploits the SPH structure:
+
+- Aggregates are COARSE SPATIAL CELLS (blocks of the neighbor-search cells,
+  each >= the kernel cutoff).  Fine matrix entries only connect particles
+  within one cutoff, hence only aggregates that are grid-adjacent: the coarse
+  graph is a regular 3^D-stencil grid whose ELL structure is computed
+  arithmetically — no graph algorithms, fully static shapes, compiles once
+  per domain.
+- Prolongation is piecewise-constant over aggregates (tentative P of classic
+  SA; the constant vector — the Poisson null space — is exactly in range(P),
+  which is what ML's setNullVector achieves, precond_ml.h:96-127).
+- Galerkin coarse operator A_c = P^T A P via masked segment-sums of fine ELL
+  entries into the coarse stencil slots.
+- Smoothers are damped-Jacobi (TPU-friendly; replaces sym-GS which is
+  sequential), coarsest level is a dense direct solve.
+
+The V-cycle is a fixed linear operator, so it right-preconditions standard
+GMRES (reference: Belos GMRES + ML, solver_lin_belos.h + precond_ml.h).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isph_tpu.ops.ell import ELL
+from isph_tpu.state import Domain
+
+
+@dataclasses.dataclass(frozen=True)
+class CoarseGrid:
+    """Static description of one coarse grid level."""
+
+    ncell: Tuple[int, ...]  # cells per axis
+    csize: Tuple[float, ...]  # cell size per axis
+    periodic: Tuple[bool, ...]
+    lo: Tuple[float, ...]
+
+    @property
+    def n(self) -> int:
+        return int(np.prod(self.ncell))
+
+    @property
+    def dim(self) -> int:
+        return len(self.ncell)
+
+
+def _stencil_offsets(dim: int) -> np.ndarray:
+    offs = np.array(np.meshgrid(*([np.array([-1, 0, 1])] * dim), indexing="ij")).reshape(dim, -1).T
+    return offs[~np.all(offs == 0, axis=1)]  # exclude self (3^D - 1)
+
+
+def _grid_ell_structure(grid: CoarseGrid):
+    """ELL (idx, mask) of the regular 3^D-stencil graph of a coarse grid."""
+    dim = grid.dim
+    ncell = np.asarray(grid.ncell)
+    strides = np.ones(dim, dtype=np.int64)
+    for d in range(dim - 2, -1, -1):
+        strides[d] = strides[d + 1] * ncell[d + 1]
+    n = grid.n
+    coords = np.stack(np.unravel_index(np.arange(n), tuple(ncell)))  # (dim, n)
+    offs = _stencil_offsets(dim)
+    idx = np.zeros((len(offs), n), np.int32)
+    mask = np.zeros((len(offs), n), bool)
+    for q, off in enumerate(offs):
+        cc = coords + off[:, None]
+        ok = np.ones(n, bool)
+        for d in range(dim):
+            if grid.periodic[d]:
+                cc[d] = np.mod(cc[d], ncell[d])
+            else:
+                ok &= (cc[d] >= 0) & (cc[d] < ncell[d])
+                cc[d] = np.clip(cc[d], 0, ncell[d] - 1)
+        flat = (cc * strides[:, None]).sum(axis=0)
+        idx[q] = np.where(ok, flat, np.arange(n))
+        mask[q] = ok
+    return jnp.asarray(idx), jnp.asarray(mask)
+
+
+def _slot_of_offset(dim: int) -> np.ndarray:
+    """Map a 3^D offset (as flat index in [0, 3^D)) to the ELL slot (self -> -1)."""
+    offs_all = np.array(np.meshgrid(*([np.array([-1, 0, 1])] * dim), indexing="ij")).reshape(dim, -1).T
+    offs = _stencil_offsets(dim)
+    slot = np.full(len(offs_all), -1, np.int32)
+    for q, off in enumerate(offs_all):
+        if np.all(off == 0):
+            continue
+        slot[q] = int(np.where(np.all(offs == off, axis=1))[0][0])
+    return slot
+
+
+def make_coarse_grids(
+    domain: Domain, cutoff: float, *, coarsen: int = 3, min_n: int = 400
+) -> List[CoarseGrid]:
+    """Level-0 coarse grid has cell size >= coarsen*cutoff (aggregates of
+    ~coarsen^D fine cells); deeper levels coarsen by 3x until <= min_n cells."""
+    grids = []
+    ncell = []
+    for ln in domain.length:
+        nc = max(1, int(math.floor(ln / (coarsen * cutoff))))
+        ncell.append(nc)
+    while True:
+        csize = tuple(ln / nc for ln, nc in zip(domain.length, ncell))
+        grids.append(
+            CoarseGrid(tuple(ncell), csize, tuple(domain.periodic), tuple(domain.lo))
+        )
+        if int(np.prod(ncell)) <= min_n or all(nc == 1 for nc in ncell):
+            break
+        ncell = [max(1, nc // 3) for nc in ncell]
+    return grids
+
+
+def _bin_to_grid(x: jax.Array, grid: CoarseGrid) -> jax.Array:
+    """Aggregate id per particle (x: (D, N))."""
+    dim, n = x.shape
+    ncell = np.asarray(grid.ncell)
+    strides = np.ones(dim, dtype=np.int64)
+    for d in range(dim - 2, -1, -1):
+        strides[d] = strides[d + 1] * ncell[d + 1]
+    agg = jnp.zeros((n,), jnp.int32)
+    for d in range(dim):
+        cd = jnp.floor((x[d] - grid.lo[d]) / grid.csize[d]).astype(jnp.int32)
+        cd = jnp.clip(cd, 0, int(ncell[d]) - 1)
+        agg = agg + cd * int(strides[d])
+    return agg
+
+
+def _grid_parent(child: CoarseGrid, parent: CoarseGrid) -> jax.Array:
+    """Aggregate id on ``parent`` for every cell of ``child`` (cell centers)."""
+    dim = child.dim
+    n = child.n
+    coords = np.stack(np.unravel_index(np.arange(n), tuple(child.ncell)))
+    centers = np.stack(
+        [child.lo[d] + (coords[d] + 0.5) * child.csize[d] for d in range(dim)]
+    )
+    return _bin_to_grid(jnp.asarray(centers), parent)
+
+
+def galerkin_coarse(A: ELL, agg: jax.Array, fine_x_agg_of_col: jax.Array, grid: CoarseGrid) -> ELL:
+    """A_c = P^T A P for piecewise-constant P over aggregates.
+
+    agg: (N,) aggregate id of each fine row; fine_x_agg_of_col: (K, N)
+    aggregate id of each fine column entry (= agg[A.idx]).  Off-aggregate
+    entries land in the stencil slot determined by the coarse-grid offset
+    (arithmetic, no search); same-aggregate entries land on the coarse
+    diagonal.
+    """
+    dim = grid.dim
+    ncell = np.asarray(grid.ncell)
+    strides = np.ones(dim, dtype=np.int64)
+    for d in range(dim - 2, -1, -1):
+        strides[d] = strides[d + 1] * ncell[d + 1]
+    nc = grid.n
+
+    cidx, cmask = _grid_ell_structure(grid)
+    nslots = cidx.shape[0]
+
+    # decode coarse coords of row and col aggregates
+    def coords_of(a):
+        rem = a
+        cs = []
+        for d in range(dim):
+            cs.append(rem // int(strides[d]))
+            rem = rem % int(strides[d])
+        return cs
+
+    rowc = coords_of(agg[None, :].astype(jnp.int64))  # list of (1, N)
+    colc = coords_of(fine_x_agg_of_col.astype(jnp.int64))  # list of (K, N)
+
+    # offset per fine entry, wrapped to {-1, 0, 1}
+    slot_lut = jnp.asarray(_slot_of_offset(dim))
+    flat_off = jnp.zeros(fine_x_agg_of_col.shape, jnp.int32)
+    valid_off = A.mask > 0
+    for d in range(dim):
+        od = (colc[d] - rowc[d]).astype(jnp.int32)
+        if grid.periodic[d]:
+            half = int(ncell[d]) // 2 + 1
+            od = jnp.where(od > int(ncell[d]) // 2, od - int(ncell[d]), od)
+            od = jnp.where(od < -(int(ncell[d]) // 2), od + int(ncell[d]), od)
+        inrange = jnp.abs(od) <= 1
+        valid_off = valid_off & inrange
+        flat_off = flat_off * 3 + (jnp.clip(od, -1, 1) + 1)
+    slot = slot_lut[flat_off]  # (K, N); -1 for same aggregate (diagonal)
+
+    vm = A.vals * A.mask
+    same = (slot == -1) & valid_off
+    off_ok = (slot >= 0) & valid_off
+
+    # coarse diagonal: fine diagonals + same-aggregate offdiagonals
+    cdiag = jnp.zeros((nc,), A.vals.dtype)
+    cdiag = cdiag.at[agg].add(A.diag)
+    cdiag = cdiag.at[jnp.broadcast_to(agg[None, :], vm.shape)].add(
+        jnp.where(same, vm, 0.0), mode="drop"
+    )
+
+    # coarse off-diagonals: scatter into (nslots, nc)
+    cvals = jnp.zeros((nslots, nc), A.vals.dtype)
+    slot_safe = jnp.maximum(slot, 0)
+    cvals = cvals.at[slot_safe, jnp.broadcast_to(agg[None, :], vm.shape)].add(
+        jnp.where(off_ok, vm, 0.0), mode="drop"
+    )
+
+    # empty aggregates (zero diag, no entries): pin to identity
+    touched = jnp.zeros((nc,), A.vals.dtype).at[agg].add(1.0)
+    empty = (touched == 0) & (jnp.abs(cdiag) == 0)
+    cdiag = jnp.where(empty, 1.0, cdiag)
+
+    return ELL(diag=cdiag, vals=cvals, idx=cidx, mask=cmask.astype(A.vals.dtype))
+
+
+@dataclasses.dataclass
+class AMG:
+    """V-cycle preconditioner: apply(r) ~= A^{-1} r."""
+
+    levels: List[ELL]  # level 0 = fine
+    aggs: List[jax.Array]  # agg id mapping level l -> l+1 (len = len(levels)-1)
+    omegas: List[jax.Array]  # damped-Jacobi weights per level
+    npre: int = 2
+    npost: int = 2
+    coarse_reg: float = 1.0e-8
+
+    def _smooth(self, l: int, A: ELL, x, b, sweeps: int):
+        # l1-Jacobi: damp by |diag| + sum_j |offdiag| (with the diagonal's
+        # sign) — unconditionally stable even on the non-diagonally-dominant
+        # Neumann boundary rows where plain Jacobi diverges (replaces the
+        # reference ML's sym-Gauss-Seidel, which is sequential on TPU)
+        l1 = jnp.abs(A.diag) + (jnp.abs(A.vals) * A.mask).sum(axis=0)
+        sgn = jnp.where(A.diag < 0, -1.0, 1.0)
+        dinv = sgn / jnp.maximum(l1, 1e-300)
+        w = self.omegas[l]
+        for _ in range(sweeps):
+            x = x + w * dinv * (b - A.matvec(x))
+        return x
+
+    def _coarse_solve(self, A: ELL, b):
+        Ad = A.to_dense()
+        n = Ad.shape[0]
+        scale = jnp.maximum(jnp.abs(A.diag).max(), 1e-300)
+        Ad = Ad + self.coarse_reg * scale * jnp.eye(n, dtype=Ad.dtype)
+        return jnp.linalg.solve(Ad, b)
+
+    def _cycle(self, l: int, b):
+        A = self.levels[l]
+        if l == len(self.levels) - 1:
+            return self._coarse_solve(A, b)
+        x = self._smooth(l, A, jnp.zeros_like(b), b, self.npre)
+        r = b - A.matvec(x)
+        agg = self.aggs[l]
+        rc = jnp.zeros((self.levels[l + 1].n,), b.dtype).at[agg].add(r)
+        xc = self._cycle(l + 1, rc)
+        x = x + xc[agg]
+        x = self._smooth(l, A, x, b, self.npost)
+        return x
+
+    def apply(self, r):
+        return self._cycle(0, r)
+
+    def __call__(self, r):
+        return self.apply(r)
+
+
+def build_amg(
+    A: ELL,
+    x: jax.Array,
+    domain: Domain,
+    cutoff: float,
+    *,
+    coarsen: int = 3,
+    min_coarse: int = 400,
+    npre: int = 2,
+    npost: int = 2,
+    omega: float = 0.8,
+) -> AMG:
+    """Assemble the AMG hierarchy for the current matrix/positions.
+
+    Static structure (grids, stencils) depends only on the domain and cutoff;
+    values are recomputed from A each call, so this traces into jit.
+    """
+    grids = make_coarse_grids(domain, cutoff, coarsen=coarsen, min_n=min_coarse)
+    levels = [A]
+    aggs = []
+    agg0 = _bin_to_grid(x, grids[0])
+    col_agg = agg0[A.idx]
+    Ac = galerkin_coarse(A, agg0, col_agg, grids[0])
+    levels.append(Ac)
+    aggs.append(agg0)
+    for l in range(1, len(grids)):
+        parent = _grid_parent(grids[l - 1], grids[l])
+        Aprev = levels[-1]
+        col_agg = parent[Aprev.idx]
+        Ac = galerkin_coarse(Aprev, parent, col_agg, grids[l])
+        levels.append(Ac)
+        aggs.append(parent)
+    omegas = [jnp.asarray(omega, A.vals.dtype) for _ in levels]
+    return AMG(levels=levels, aggs=aggs, omegas=omegas, npre=npre, npost=npost)
