@@ -1,0 +1,107 @@
+"""Electrokinetics verification.
+
+PB harmonic manufactured solution reproduces the reference golden table
+(sph-script/conv-poisson-boltzmann-harmonic-2d-rev390.txt) to all printed
+digits: psi = sin(x)cos(y) on [0,2pi]^2, eps=1, kappa^2=1, extra source
+f = -2 sin x cos y - sinh(sin x cos y) (poisson-boltzmann-harmonic.xml).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isph_tpu.config import PoissonBoltzmannConfig
+from isph_tpu.models import tgv
+from isph_tpu.physics import electrokinetics as ek
+
+GOLDEN_PSI = {16: 1.479161878614346e-02, 32: 3.706069041498665e-03}
+GOLDEN_GRAD = {16: 4.719682089799385e-02, 32: 1.198133743842115e-02}
+
+
+def _solve(n):
+    sim, state = tgv.make_tgv(n)
+    cfg = sim.cfg.replace(
+        pb=PoissonBoltzmannConfig(enabled=True, ezcb=0.5, psiref=1.0, gamma=0.0)
+    )
+    state = state.replace(
+        eps=jnp.ones(state.n), psi=jnp.zeros(state.n), psi0=jnp.zeros(state.n)
+    )
+    nbrs = sim.neighbors(state)
+    geom = sim.geometry(state, nbrs)
+    pre = sim.precompute(state, geom)
+    x, y = state.x[0], state.x[1]
+    psi_ex = jnp.sin(x) * jnp.cos(y)
+    extra_f = -2.0 * jnp.sin(x) * jnp.cos(y) - jnp.sinh(psi_ex)
+    psi, psigrad, info = ek.solve_poisson_boltzmann(
+        state, geom, pre, cfg, extra_f=extra_f
+    )
+    w = state.valid.astype(float)
+    err = float(jnp.sqrt((((psi - psi_ex) * w) ** 2).sum() / w.sum()))
+    gex = jnp.stack([jnp.cos(x) * jnp.cos(y), -jnp.sin(x) * jnp.sin(y)])
+    gerr = float(jnp.sqrt((((psigrad - gex) * w) ** 2).sum() / w.sum()))
+    return err, gerr, info
+
+
+@pytest.mark.parametrize("n", sorted(GOLDEN_PSI))
+def test_pb_harmonic_matches_golden(n):
+    err, gerr, info = _solve(n)
+    assert bool(info.converged)
+    assert int(info.iters) <= 10
+    assert abs(err / GOLDEN_PSI[n] - 1.0) < 1e-6
+    assert abs(gerr / GOLDEN_GRAD[n] - 1.0) < 1e-6
+
+
+def test_pb_linearized_small_psi_agrees():
+    """For small psi the linearized and full nonlinearity coincide."""
+    g1, d1 = ek.pb_nonlinearity(jnp.asarray(1e-4), 1.0, 0.3, False)
+    g2, d2 = ek.pb_nonlinearity(jnp.asarray(1e-4), 1.0, 0.3, True)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=1e-6)
+    np.testing.assert_allclose(float(d1), float(d2), rtol=1e-6)
+
+
+def test_pb_jacobian_matches_fd():
+    """Analytic d/dpsi of the nonlinearity vs finite differences (both forms,
+    with steric gamma)."""
+    psi = jnp.asarray(0.7)
+    eps = 1e-6
+    for lin in (False, True):
+        g, dg = ek.pb_nonlinearity(psi, 1.3, 0.4, lin)
+        gp, _ = ek.pb_nonlinearity(psi + eps, 1.3, 0.4, lin)
+        gm, _ = ek.pb_nonlinearity(psi - eps, 1.3, 0.4, lin)
+        np.testing.assert_allclose(float(dg), float((gp - gm) / (2 * eps)), rtol=1e-5)
+
+
+def test_electrostatic_force_value():
+    """f -= rho_e (-psiref grad psi + E): for psi=0.5, grad=1, E=0 the update
+    is +rho_e * psiref * grad (functor_electrostatic_force.h:52-56)."""
+    sim, state = tgv.make_tgv(8)
+    cfg = sim.cfg.replace(pb=PoissonBoltzmannConfig(enabled=True, ezcb=0.5))
+    state = state.replace(psi=jnp.full(state.n, 0.5))
+    psigrad = jnp.ones((2, state.n))
+    f = ek.electrostatic_force(state, cfg, psigrad)
+    rho_e = 0.5 * 2.0 * np.sinh(0.5)
+    np.testing.assert_allclose(np.asarray(f), rho_e, rtol=1e-12)
+
+
+def test_channel_edl_matches_golden():
+    """Channel EDL potential (MorrisHolmes walls, kappa=10) vs the reference
+    convergence table conv-channel-edl-potential-2d-morrisholmes-rev722.txt:
+    N=32 relative error 4.210e-02 — reproduced within a few percent
+    (residual difference traces to wall-extension details)."""
+    from isph_tpu.models import edl
+    from isph_tpu.ops import corrected as cops
+
+    sim, state = edl.make_channel_edl(32)
+    cfg = sim.cfg
+    nbrs = sim.neighbors(state)
+    geom = sim.geometry(state, nbrs)
+    pre = sim.precompute(state, geom)
+    mirror = cops.morris_holmes_mirror(
+        geom, state.kind, pre.pnd, pre.vfrac, cfg.cut, cfg.h, safe=0.0
+    )
+    psi, psigrad, info = ek.solve_poisson_boltzmann(state, geom, pre, cfg, mirror=mirror)
+    err, norm = edl.psi_error(state, psi)
+    rel = float(err / norm)
+    assert bool(info.converged)
+    assert abs(rel / 4.210116123449621e-02 - 1.0) < 0.05
