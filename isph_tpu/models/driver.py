@@ -28,6 +28,7 @@ from isph_tpu.ops.neighbors import (
     compute_pair_geometry,
 )
 from isph_tpu.physics import ns_projection, shift as shift_mod
+from isph_tpu.physics import electrokinetics, fluctuation, multiphase, transport
 from isph_tpu.physics.status import Status, compute_status
 
 
@@ -73,11 +74,59 @@ class Simulation:
     def step(
         self, state: ParticleState, *, axis_name: Optional[str] = None
     ) -> Tuple[ParticleState, StepAux]:
+        """One timestep, following the reference per-step dispatch
+        (PairISPH::compute, pair_isph.cpp:1241-1380): pre-computation, then
+        applied E-field -> Poisson-Boltzmann (+ electrostatic force) ->
+        solute transport -> random stress -> surface tension -> NS projection
+        -> advance -> shifting."""
         cfg = self.cfg
 
         nbrs = self.neighbors(state)
         geom = self.geometry(state, nbrs)
         pre = self.precompute(state, geom)
+
+        # clear the per-step force accumulator (LAMMPS force_clear)
+        state = state.replace(f=jnp.zeros_like(state.v))
+
+        if cfg.ae.enabled:
+            phi, phigrad = electrokinetics.solve_applied_electric_potential(
+                state, geom, pre, cfg, axis_name=axis_name
+            )
+            state = state.replace(phi=phi, phigrad=phigrad)
+
+        if cfg.pb.enabled:
+            psi, psigrad, _ = electrokinetics.solve_poisson_boltzmann(
+                state, geom, pre, cfg, axis_name=axis_name
+            )
+            state = state.replace(psi=psi, psigrad=psigrad)
+            f = electrokinetics.electrostatic_force(
+                state, cfg, psigrad,
+                phigrad=state.phigrad if cfg.ae.enabled else None,
+            )
+            state = state.replace(f=f)
+
+        if cfg.tr.enabled and state.conc is not None:
+            conc, _ = transport.solute_transport_step(
+                state, geom, pre, cfg, axis_name=axis_name
+            )
+            state = state.replace(conc=conc)
+
+        if cfg.rs.enabled:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.rs.seed),
+                state.step if state.step is not None else 0,
+            )
+            state = state.replace(
+                f=fluctuation.random_stress_force(state, geom, pre, cfg, key)
+            )
+
+        if cfg.st.enabled:
+            if cfg.st.model == "csf":
+                f, _, _ = multiphase.csf_force(state, geom, pre, cfg)
+            else:
+                s_table = jnp.full((4, 4), cfg.st.alpha, state.dtype)
+                f = multiphase.pairwise_force(state, geom, cfg, s_table)
+            state = state.replace(f=f)
 
         state, info = ns_projection.navier_stokes_step(
             state, geom, pre, cfg, domain=self.domain, axis_name=axis_name
@@ -95,7 +144,10 @@ class Simulation:
             state = shift_mod.apply_shift(state, geom2, pre2, cfg, dr, self.domain)
             overflow = overflow + nbrs2.overflow
 
-        status = compute_status(state, pre.vfrac, 0.0, axis_name=axis_name)
+        if state.step is not None:
+            state = state.replace(step=state.step + 1)
+        time = (state.step.astype(state.dtype) if state.step is not None else 0.0) * cfg.dt
+        status = compute_status(state, pre.vfrac, time, axis_name=axis_name)
         zero = jnp.asarray(0, jnp.int32)
         aux = StepAux(
             status=status,

@@ -118,6 +118,9 @@ class ParticleState:
     conc: Optional[jax.Array] = None  # (S, N) concentrations (S<=4)
     phase: Optional[jax.Array] = None  # (N,) int32 phase id
 
+    # --- bookkeeping ---
+    step: Optional[jax.Array] = None  # () int32 timestep counter (update->ntimestep)
+
     @property
     def n(self) -> int:
         return self.x.shape[1]
@@ -212,4 +215,5 @@ def make_state(
         vstar=zeros_vec,
         dp=jnp.zeros((n,), dtype=dtype),
         f=zeros_vec,
+        step=jnp.zeros((), jnp.int32),
     )
