@@ -60,9 +60,9 @@ class SolverConfig:
     restart: int = 50  # GMRES basis size ("Num Blocks")
     max_restarts: int = 15
     max_iters: int = 500
-    precond: str = "jacobi"  # "none" | "jacobi" | "amg"; the Poisson solve
-    # upgrades "jacobi"/"amg" to the AMG V-cycle when domain info is in scope
-    # (the reference pairs Belos with ML AMG for the same systems)
+    precond: str = "amg"  # "none" | "jacobi" | "amg" (AMG applies where the
+    # solve has domain info in scope, i.e. the pressure Poisson; elsewhere it
+    # falls back to Jacobi — the reference pairs Belos with ML the same way)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -57,11 +57,11 @@ class SolveInfo(NamedTuple):
 def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=None,
            amg: Optional[Tuple] = None) -> KrylovResult:
     sc = cfg.solver
-    if amg is not None and sc.precond in ("amg", "jacobi"):
+    if amg is not None and sc.precond == "amg":
         # AMG hierarchy (replaces ML, precond_ml.h); amg = (x, domain, cutoff)
         x_pos, domain, cutoff = amg
         M = build_amg(A, x_pos, domain, cutoff).apply
-    elif sc.precond == "jacobi":
+    elif sc.precond in ("jacobi", "amg"):
         M = jacobi(A)
     else:
         M = None
