@@ -1,0 +1,250 @@
+"""Moving-Least-Squares discretization (the reference MLS backend).
+
+Reference: mls-src/ — ScaledTaylorMonomial basis (scaled_taylor_monomial.h),
+per-particle weighted Gram ("mass") matrix with inverse/pseudo-inverse
+(functor_mls_mass_matrix.h:60-160), moment helper q_i = sum_j P(x_j) W_ij f_j
+(functor_mls_helper.h:92-198), derivative extraction D^beta f = [M^{-1} q]_beta
+/ rth^{|beta|} (scaled_taylor_monomial.h dval at r=0), and CRS row assembly
+(functor_mls_laplacian_matrix.h).
+
+TPU design: the basis exponent set is static per (dim, order), so P values are
+(NDOF, K, N) stacks, the Gram matrices (NDOF, NDOF, N) build as masked
+neighbor reductions, and the batched inverses are unrolled Gauss-Jordan
+(utils/dense.inv_leading) — everything particle-minor, no per-particle loops.
+
+Weight: the MLS kernel (1 - r/rth)^6 (kernel_mls.h:15-24) with support
+rth = the neighbor cutoff.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from isph_tpu.state import Kind
+from isph_tpu.ops.neighbors import PairGeom
+from isph_tpu.ops.ell import ELL
+from isph_tpu.ops.corrected import PairFilter
+from isph_tpu.utils import dense
+
+
+@lru_cache(maxsize=None)
+def monomial_exponents(dim: int, order: int, interpolation: bool = False) -> Tuple[Tuple[int, int, int], ...]:
+    """Exponent triplets in the reference loop order (z outer, y, x inner;
+    scaled_taylor_monomial.h:66-80)."""
+    out = []
+    for k3 in range(0, (order if dim == 3 else 0) + 1):
+        for k2 in range(0, order - k3 + 1):
+            for k1 in range(0, order - k2 - k3 + 1):
+                if interpolation and (k1 + k2 + k3) == 0:
+                    continue
+                out.append((k1, k2, k3))
+    return tuple(out)
+
+
+def ndof(dim: int, order: int, interpolation: bool = False) -> int:
+    return len(monomial_exponents(dim, order, interpolation))
+
+
+def deriv_index(dim: int, order: int, beta: Tuple[int, int, int], interpolation: bool = False) -> int:
+    """Index of the monomial with exponents == beta (dval at r=0)."""
+    return monomial_exponents(dim, order, interpolation).index(tuple(beta))
+
+
+def mls_weight(r, rth):
+    """(1 - r/rth)^6 (kernel_mls.h)."""
+    return jnp.maximum(1.0 - r / rth, 0.0) ** 6
+
+
+@dataclasses.dataclass(frozen=True)
+class MLSBasis:
+    """Static basis description: P_a(x_j - x_i) = s^alpha_a / alpha_a! with
+    s = (x_j - x_i)/rth."""
+
+    dim: int
+    order: int
+    interpolation: bool = False
+
+    @property
+    def exps(self):
+        return monomial_exponents(self.dim, self.order, self.interpolation)
+
+    @property
+    def ndof(self) -> int:
+        return len(self.exps)
+
+    def values(self, geom: PairGeom, rth: float) -> jax.Array:
+        """P over pair slots: (NDOF, K, N).  Note s = -rij/rth since
+        rij = x_i - x_j (scaled_taylor_monomial.h:60-63)."""
+        s = [-geom.rij[d] / rth for d in range(self.dim)] + [None]
+        out = []
+        for (k1, k2, k3) in self.exps:
+            term = jnp.ones_like(geom.r)
+            for e, d in ((k1, 0), (k2, 1), (k3, 2)):
+                if e > 0:
+                    term = term * s[d] ** e / math.factorial(e)
+            out.append(term)
+        return jnp.stack(out)
+
+    def self_values(self, dtype) -> jax.Array:
+        """P at r=0: 1 for the constant monomial, 0 otherwise."""
+        return jnp.asarray(
+            [1.0 if sum(e) == 0 else 0.0 for e in self.exps], dtype
+        )
+
+    def deriv_scale(self, beta: Tuple[int, int, int], rth: float) -> float:
+        """du at r=0 for derivative beta: 1/rth^{|beta|}."""
+        return 1.0 / rth ** sum(beta)
+
+
+def mass_matrix_inverse(
+    basis: MLSBasis,
+    geom: PairGeom,
+    rth: float,
+    kind: jax.Array,
+    filt: PairFilter,
+) -> jax.Array:
+    """M_i^{-1} with M_i = sum_j W_ij P_j P_j^T + W(0) P_0 P_0^T
+    (functor_mls_mass_matrix.h:60-160).  Returns (NDOF, NDOF, N); rows whose
+    kind fails the filter (and neighborless particles) get the identity."""
+    nd = basis.ndof
+    dtype = geom.r.dtype
+    P = basis.values(geom, rth)  # (NDOF, K, N)
+    w = mls_weight(geom.r, rth) * filt.pair(kind, geom).astype(dtype) * geom.mask
+    P0 = basis.self_values(dtype)
+    w0 = mls_weight(jnp.zeros((), dtype), rth)
+
+    M = jnp.stack(
+        [
+            jnp.stack([(w * P[a] * P[b]).sum(axis=0) + w0 * P0[a] * P0[b]
+                       for b in range(nd)])
+            for a in range(nd)
+        ]
+    )  # (NDOF, NDOF, N)
+
+    # pin non-admitted / lonely rows to identity
+    ok = filt.row(kind).astype(dtype) * (geom.mask.sum(axis=0) > 0).astype(dtype)
+    eye = jnp.eye(nd, dtype=dtype)[:, :, None]
+    M = M * ok[None, None, :] + eye * (1.0 - ok)[None, None, :]
+    return dense.inv_leading(M)
+
+
+def moment_helper(
+    basis: MLSBasis,
+    geom: PairGeom,
+    rth: float,
+    f: jax.Array,
+    kind: jax.Array,
+    filt: PairFilter,
+) -> jax.Array:
+    """q_i = sum_j P_j W_ij f_j (+ self term) — (NDOF, N) for scalar f (N,),
+    (d, NDOF, N) for vector f (d, N) (functor_mls_helper.h:92-198)."""
+    dtype = geom.r.dtype
+    P = basis.values(geom, rth)
+    w = mls_weight(geom.r, rth) * filt.pair(kind, geom).astype(dtype) * geom.mask
+    P0 = basis.self_values(dtype)
+    w0 = mls_weight(jnp.zeros((), dtype), rth)
+
+    if f.ndim == 1:
+        fj = f[geom.idx]
+        if basis.interpolation:
+            comb = fj - f[None, :]
+            return jnp.stack([(w * P[a] * comb).sum(axis=0) for a in range(basis.ndof)])
+        return jnp.stack(
+            [(w * P[a] * fj).sum(axis=0) + w0 * P0[a] * f for a in range(basis.ndof)]
+        )
+    return jnp.stack([moment_helper(basis, geom, rth, f[d], kind, filt) for d in range(f.shape[0])])
+
+
+def _coeffs(Minv: jax.Array, q: jax.Array) -> jax.Array:
+    """c = M^{-1} q: (NDOF, NDOF, N) x (NDOF, N) -> (NDOF, N)."""
+    nd = Minv.shape[0]
+    return jnp.stack([sum(Minv[a, b] * q[b] for b in range(nd)) for a in range(nd)])
+
+
+def derivative(
+    basis: MLSBasis, Minv, q, beta: Tuple[int, int, int], rth: float
+) -> jax.Array:
+    """D^beta f at particles: [M^{-1} q]_{idx(beta)} / rth^{|beta|}."""
+    c = _coeffs(Minv, q)
+    idx = deriv_index(basis.dim, basis.order, beta, basis.interpolation)
+    return c[idx] * basis.deriv_scale(beta, rth)
+
+
+def gradient(basis, Minv, q, rth) -> jax.Array:
+    """(D, N) for scalar moments q (NDOF, N); (d, D, N) for vector (d, NDOF, N)."""
+    if q.ndim == 3:
+        return jnp.stack([gradient(basis, Minv, q[a], rth) for a in range(q.shape[0])])
+    betas = [(1, 0, 0), (0, 1, 0), (0, 0, 1)][: basis.dim]
+    return jnp.stack([derivative(basis, Minv, q, b, rth) for b in betas])
+
+
+def divergence(basis, Minv, qv, rth) -> jax.Array:
+    """qv: (D, NDOF, N) vector moments -> (N,)."""
+    betas = [(1, 0, 0), (0, 1, 0), (0, 0, 1)][: basis.dim]
+    return sum(derivative(basis, Minv, qv[d], betas[d], rth) for d in range(basis.dim))
+
+
+def laplacian(basis, Minv, q, rth) -> jax.Array:
+    betas = [(2, 0, 0), (0, 2, 0), (0, 0, 2)][: basis.dim]
+    return sum(derivative(basis, Minv, q, b, rth) for b in betas)
+
+
+def curl(basis, Minv, qv, rth) -> jax.Array:
+    """qv: (D, NDOF, N); 2D -> scalar vorticity, 3D -> (3, N)."""
+    g = gradient(basis, Minv, qv, rth)  # (d, D, N)
+    if basis.dim == 3:
+        return jnp.stack([g[2, 1] - g[1, 2], g[0, 2] - g[2, 0], g[1, 0] - g[0, 1]])
+    return g[1, 0] - g[0, 1]
+
+
+def operator_matrix(
+    basis: MLSBasis,
+    geom: PairGeom,
+    rth: float,
+    kind: jax.Array,
+    filt: PairFilter,
+    Minv: jax.Array,
+    betas: Sequence[Tuple[int, int, int]],
+    *,
+    alpha: float = 1.0,
+    material: Optional[jax.Array] = None,
+    beta_weights: Optional[Sequence[Optional[jax.Array]]] = None,
+) -> ELL:
+    """Rows of sum_beta w_beta D^beta as an ELL matrix
+    (functor_mls_laplacian_matrix.h; with per-particle ``beta_weights`` this
+    also covers advection rows (v - xdot).grad,
+    ale-src/functor_ale_advection_matrix.h): A[i, j] = alpha mat_i sum_beta
+    w_beta_i [M_i^{-1} P_j]_{idx beta} w_ij / rth^{|beta|} (+ self column)."""
+    dtype = geom.r.dtype
+    nd = basis.ndof
+    P = basis.values(geom, rth)  # (NDOF, K, N)
+    w = mls_weight(geom.r, rth) * filt.pair(kind, geom).astype(dtype) * geom.mask
+    P0 = basis.self_values(dtype)
+    w0 = mls_weight(jnp.zeros((), dtype), rth)
+    rowf = filt.row(kind).astype(dtype)
+    mat = material if material is not None else jnp.ones(geom.n, dtype)
+
+    # y_i = sum_beta w_beta e_beta^T M_i^{-1} / rth^{|beta|}  -> (NDOF, N)
+    y = None
+    for q, b in enumerate(betas):
+        idx = deriv_index(basis.dim, basis.order, b, basis.interpolation)
+        contrib = jnp.stack([Minv[idx, a] for a in range(nd)]) * basis.deriv_scale(b, rth)
+        if beta_weights is not None and beta_weights[q] is not None:
+            contrib = contrib * beta_weights[q][None, :]
+        y = contrib if y is None else y + contrib
+
+    vals = sum(y[a][None, :] * P[a] for a in range(nd)) * w  # (K, N)
+    diag = sum(y[a] * P0[a] for a in range(nd)) * w0 * (geom.mask.sum(axis=0) > 0).astype(dtype)
+    scale = alpha * mat * rowf
+    return ELL(
+        diag=diag * scale,
+        vals=vals * scale[None, :],
+        idx=geom.idx,
+        mask=geom.mask,
+    )

@@ -89,3 +89,29 @@ def solve_leading(A, b):
             s = s - A[i][j] * x[j]
         x[i] = s / A[i][i]
     return jnp.stack(x)
+
+
+def inv_leading(A):
+    """Inverse of (M, M, N) batched small matrices via unrolled pivot-free
+    Gauss-Jordan (valid for the SPD Gram/correction systems it is used on;
+    the reference uses pivoted LAPACK getri / SVD pseudo-inverse,
+    utils_reference.cpp:14-15 and functor_mls_mass_matrix.h:155-158)."""
+    m = A.shape[0]
+    if m == 2:
+        return inv2(A)
+    if m == 3:
+        return inv3(A)
+    a = [[A[i, j] for j in range(m)] for i in range(m)]
+    inv = [[jnp.full_like(A[0, 0], 1.0 if i == j else 0.0) for j in range(m)]
+           for i in range(m)]
+    for k in range(m):
+        piv = 1.0 / a[k][k]
+        a[k] = [v * piv for v in a[k]]
+        inv[k] = [v * piv for v in inv[k]]
+        for i in range(m):
+            if i == k:
+                continue
+            f = a[i][k]
+            a[i] = [a[i][j] - f * a[k][j] for j in range(m)]
+            inv[i] = [inv[i][j] - f * inv[k][j] for j in range(m)]
+    return jnp.stack([jnp.stack(row) for row in inv])
