@@ -118,24 +118,22 @@ def bench_step(n_lattice=128, max_neighbors=48, steps=5):
     return particle_steps_per_s, dt / steps, float(np.asarray(vmax)[-1])
 
 
-def _device_alive(timeout_s: int = 90) -> bool:
-    """Probe the default device with a hard timeout — a wedged TPU tunnel
-    HANGS rather than raising."""
-    import signal
+def _device_alive(timeout_s: int = 120) -> bool:
+    """Probe the default device in a SUBPROCESS with a hard timeout — a
+    wedged TPU tunnel hangs inside C++ where in-process signals can't
+    interrupt."""
+    import subprocess
+    import sys
 
-    def handler(signum, frame):
-        raise TimeoutError("device probe timed out")
-
-    old = signal.signal(signal.SIGALRM, handler)
-    signal.alarm(timeout_s)
     try:
-        jax.block_until_ready(jnp.ones(8) + 1.0)
-        return True
-    except Exception:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.block_until_ready(jax.numpy.ones(8) + 1)"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
         return False
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
 
 
 def main():
