@@ -13,11 +13,21 @@ roofline_nnz_s = HBM_BW / 12.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache cuts repeat-run compile time dramatically
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 # HBM bandwidth per chip (bytes/s): TPU v5e ~ 819 GB/s
 HBM_BW = {"tpu v5": 819e9, "tpu v4": 1200e9, "cpu": 50e9}
@@ -38,6 +48,7 @@ def bench_spmv(n_lattice=256, max_neighbors=48, iters=1000):
     from isph_tpu.ops.corrected import PairFilter, SYMMETRIC
     from isph_tpu.state import Kind
 
+    _log(f"spmv: building n_lattice={n_lattice}")
     sim, state = tgv.make_tgv(
         n_lattice, dtype=jnp.float32, max_neighbors=max_neighbors, pad_multiple=128
     )
@@ -57,6 +68,7 @@ def bench_spmv(n_lattice=256, max_neighbors=48, iters=1000):
 
     A = jax.jit(build)(geom, pre, state)
     jax.block_until_ready(A.vals)
+    _log("spmv: assembled, compiling matvec scan")
 
     x = state.p + 1.0
 
@@ -107,8 +119,10 @@ def bench_step(n_lattice=128, max_neighbors=48, steps=5):
             return s2, aux.status.vmax
         return jax.lax.scan(body, state, None, length=steps)
 
+    _log(f"step: compiling full step n_lattice={n_lattice}")
     out, vmax = nsteps(state)
     jax.block_until_ready(out.x)  # warmup/compile
+    _log("step: compiled, timing")
     state2 = state.replace(v=state.v * 1.0001)  # fresh values (see bench_spmv note)
     t0 = time.perf_counter()
     out, vmax = nsteps(state2)

@@ -1,1 +1,1 @@
-from isph_tpu.models import driver, tgv
+from isph_tpu.models import channel, driver, edl, geometry, tgv

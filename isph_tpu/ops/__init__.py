@@ -1,1 +1,1 @@
-from isph_tpu.ops import kernels, neighbors, corrected, ell
+from isph_tpu.ops import corrected, ell, kernels, mls, neighbors

@@ -1,1 +1,1 @@
-from isph_tpu.parallel import mesh
+from isph_tpu.parallel import dist, mesh

@@ -1,1 +1,13 @@
-from isph_tpu.physics import ns_projection, shift, status
+from isph_tpu.physics import (
+    ale,
+    bonds,
+    diagnostics,
+    electrokinetics,
+    fluctuation,
+    multiphase,
+    ns_projection,
+    qeq,
+    shift,
+    status,
+    transport,
+)

@@ -377,7 +377,12 @@ def navier_stokes_step(
     """computeIncompressibleNavierStokes (pair_isph.cpp:910-1034): returns the
     state with updated (vstar, dp, p); positions unchanged (advance_time is a
     separate call, as in FixISPH::final_integrate)."""
-    vstar, hinfo = solve_helmholtz(state, geom, pre, cfg, axis_name=axis_name)
+    if cfg.ns.is_block_helmholtz_enabled:
+        from isph_tpu.physics.block_helmholtz import solve_block_helmholtz
+
+        vstar, hinfo = solve_block_helmholtz(state, geom, pre, cfg, axis_name=axis_name)
+    else:
+        vstar, hinfo = solve_helmholtz(state, geom, pre, cfg, axis_name=axis_name)
     dp, pinfo = solve_poisson(state, geom, pre, cfg, vstar, domain=domain, axis_name=axis_name)
     if cfg.ns.use_incremental_pressure:
         dp = zero_mean_pressure(dp, state, axis_name=axis_name)

@@ -1,1 +1,1 @@
-from isph_tpu.utils import packed
+from isph_tpu.utils import dense, packed, profiling, time_bdf

@@ -1,0 +1,60 @@
+"""Block (coupled dim x dim) Helmholtz tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isph_tpu.models import channel, tgv
+from isph_tpu.physics import block_helmholtz as bh
+from isph_tpu.physics import ns_projection as ns
+from isph_tpu.physics.ns_projection import compute_pre
+
+
+def test_block_equals_scalar_without_walls():
+    """With no solid particles the blocks decouple and the coupled solve must
+    match the per-component Helmholtz solve."""
+    sim, state = tgv.make_tgv(16)
+    cfg = sim.cfg
+    nbrs = sim.neighbors(state)
+    geom = sim.geometry(state, nbrs)
+    pre = compute_pre(state, geom, cfg)
+    v_blk, info = bh.solve_block_helmholtz(state, geom, pre, cfg)
+    v_scalar, _ = ns.solve_helmholtz(state, geom, pre, cfg)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(v_blk), np.asarray(v_scalar), atol=1e-8)
+
+
+def test_block_helmholtz_navier_slip_runs():
+    """Couette channel with Navier-slip coupling (beta=0.01, the poiseuille
+    deck's value): the coupled system solves and the wall rows keep the wall
+    velocity."""
+    sim, state = channel.make_channel(24, flow="couette")
+    cfg = sim.cfg.replace(
+        ns=dataclasses.replace(sim.cfg.ns, beta=0.01, is_block_helmholtz_enabled=True)
+    )
+    nbrs = sim.neighbors(state)
+    geom = sim.geometry(state, nbrs)
+    pre = compute_pre(state, geom, cfg)
+    v_blk, info = bh.solve_block_helmholtz(state, geom, pre, cfg)
+    assert bool(info.converged), float(info.relres)
+    vn = np.asarray(v_blk)
+    solid = np.asarray(state.is_solid & state.valid)
+    np.testing.assert_allclose(vn[:, solid], np.asarray(state.v)[:, solid], atol=1e-10)
+    assert np.isfinite(vn).all()
+
+
+def test_navier_slip_terms_sign():
+    """Robin diagonal terms damp the tangential velocity (negative-definite
+    contribution for beta > 0 with inward wall normals)."""
+    sim, state = channel.make_channel(24, flow="couette")
+    cfg = sim.cfg
+    nbrs = sim.neighbors(state)
+    geom = sim.geometry(state, nbrs)
+    pre = compute_pre(state, geom, cfg)
+    diag, vals = bh.navier_slip_terms(state, geom, pre, 0.01)
+    d = np.asarray(diag)
+    assert np.isfinite(d).all()
+    assert (np.abs(d) > 0).any()  # active near walls
