@@ -83,17 +83,21 @@ def bench_spmv(n_lattice=256, max_neighbors=48, iters=1000):
         return y
 
     # TIMING METHODOLOGY (remote-TPU tunnel): the runtime memoizes repeat
-    # executions with identical inputs and has erratic multi-second dispatch
+    # executions with identical inputs and adds erratic multi-second queue
     # latency, so: (a) warm up with DIFFERENT input values than the timed
-    # run, (b) time a single call whose on-device work is seconds-scale
-    # (iters large), (c) never reuse input values across calls.
+    # runs, (b) use fresh input values per call, (c) report the MINIMUM over
+    # several calls — the min filters the tunnel jitter out of the
+    # device-compute estimate.
     y = many_matvec(A, x)
     jax.block_until_ready(y)  # warmup/compile with x
-    x2 = x * 1.0001 + 0.001  # fresh values for the timed run
-    t0 = time.perf_counter()
-    y = many_matvec(A, x2)
-    jax.block_until_ready(y)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for rep in range(1, 6):
+        x2 = x * (1.0 + 1e-4 * rep) + 1e-3 * rep
+        t0 = time.perf_counter()
+        y = many_matvec(A, x2)
+        jax.block_until_ready(y)
+        dt = min(dt, time.perf_counter() - t0)
+    _log(f"spmv: best {dt*1e3:.2f} ms / {iters} matvecs")
 
     nnz = float(np.asarray(geom.mask).sum() + state.n)  # offdiag + diag
     nnz_per_s = nnz * iters / dt
@@ -123,11 +127,14 @@ def bench_step(n_lattice=128, max_neighbors=48, steps=5):
     out, vmax = nsteps(state)
     jax.block_until_ready(out.x)  # warmup/compile
     _log("step: compiled, timing")
-    state2 = state.replace(v=state.v * 1.0001)  # fresh values (see bench_spmv note)
-    t0 = time.perf_counter()
-    out, vmax = nsteps(state2)
-    jax.block_until_ready(out.x)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for rep in range(1, 4):
+        state2 = state.replace(v=state.v * (1.0 + 1e-4 * rep))
+        t0 = time.perf_counter()
+        out, vmax = nsteps(state2)
+        jax.block_until_ready(out.x)
+        dt = min(dt, time.perf_counter() - t0)
+    _log(f"step: best {dt:.2f} s / {steps} steps")
     particle_steps_per_s = state.n * steps / dt
     return particle_steps_per_s, dt / steps, float(np.asarray(vmax)[-1])
 
