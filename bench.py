@@ -157,37 +157,71 @@ def _device_alive(timeout_s: int = 120) -> bool:
         return False
 
 
-def main():
-    # If the TPU via the tunnel is unavailable (device faults happen), fall
-    # back to CPU so the round still records a benchmark row.
-    if _device_alive():
-        spmv_nnz_s, nnz, spmv_t = bench_spmv()
-        ps_per_s, step_t, vmax = bench_step()
-    else:
-        jax.config.update("jax_platforms", "cpu")
+def _run_benches(small: bool) -> str:
+    if small:
         spmv_nnz_s, nnz, spmv_t = bench_spmv(n_lattice=128)
         ps_per_s, step_t, vmax = bench_step(n_lattice=64)
-
+    else:
+        spmv_nnz_s, nnz, spmv_t = bench_spmv()
+        ps_per_s, step_t, vmax = bench_step()
     roofline = _hbm_bw() / 12.0
     target = 0.8 * roofline
-    print(
-        json.dumps(
-            {
-                "metric": "spmv_nnz_per_s",
-                "value": spmv_nnz_s,
-                "unit": "nnz/s",
-                "vs_baseline": spmv_nnz_s / target,
-                "extras": {
-                    "matrix_nnz": nnz,
-                    "roofline_nnz_per_s": roofline,
-                    "tgv2d_particle_steps_per_s": ps_per_s,
-                    "tgv2d_step_seconds": step_t,
-                    "tgv2d_vmax": vmax,
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
+    return json.dumps(
+        {
+            "metric": "spmv_nnz_per_s",
+            "value": spmv_nnz_s,
+            "unit": "nnz/s",
+            "vs_baseline": spmv_nnz_s / target,
+            "extras": {
+                "matrix_nnz": nnz,
+                "roofline_nnz_per_s": roofline,
+                "tgv2d_particle_steps_per_s": ps_per_s,
+                "tgv2d_step_seconds": step_t,
+                "tgv2d_vmax": vmax,
+                "device": str(jax.devices()[0]),
+            },
+        }
     )
+
+
+def main():
+    """Watchdogged: the TPU tunnel can hang indefinitely inside C++ (device
+    faults, remote-compile stalls), so the TPU attempt runs in a subprocess
+    with a hard timeout; any failure falls back to a CPU run so the round
+    always records a benchmark row."""
+    import subprocess
+    import sys
+
+    if "--inner" in sys.argv:
+        print(_run_benches(small=False), flush=True)
+        return
+    if "--inner-cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        print(_run_benches(small=True), flush=True)
+        return
+
+    me = os.path.abspath(__file__)
+    if _device_alive():
+        try:
+            r = subprocess.run(
+                [sys.executable, me, "--inner"], timeout=1500,
+                capture_output=True, text=True,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if r.returncode == 0 and line:
+                print(line[-1])
+                return
+            _log(f"tpu bench failed rc={r.returncode}: {r.stderr[-300:] if r.stderr else ''}")
+        except subprocess.TimeoutExpired:
+            _log("tpu bench timed out; falling back to cpu")
+    r = subprocess.run(
+        [sys.executable, me, "--inner-cpu"], timeout=1500,
+        capture_output=True, text=True,
+    )
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    print(line[-1] if line else json.dumps({"metric": "spmv_nnz_per_s", "value": 0.0,
+                                            "unit": "nnz/s", "vs_baseline": 0.0,
+                                            "extras": {"error": "bench failed"}}))
 
 
 if __name__ == "__main__":

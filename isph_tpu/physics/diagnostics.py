@@ -47,11 +47,16 @@ def velocity_curl(state, geom, pre, cfg, v=None):
     )
 
 
-def traction_vector(state, geom, pre, cfg):
-    """Wall traction t = (-p I + mu (grad v + grad v^T)) . n, (D, N)."""
+def traction_vector(state, geom, pre, cfg, *, filt: Optional[PairFilter] = None):
+    """Wall traction t = (-p I + mu (grad v + grad v^T)) . n, (D, N).
+
+    Default filter: wall rows with fluid+wall neighbors (the reference MLS
+    driver uses (Boundary, Fluid|Boundary), mls-src/pair_isph_mls.cpp:737-753).
+    """
     dim = state.dim
     mu = state.nu * state.rho
-    coeff = PairFilter(Kind.FLUID, Kind.ALL).pair(state.kind, geom).astype(state.dtype) * geom.mask
+    filt = filt or PairFilter(Kind.SOLID | Kind.BOUNDARY, Kind.ALL)
+    coeff = filt.pair(state.kind, geom).astype(state.dtype) * geom.mask
     gv = ops.gradient(
         geom, pre.vfrac, pre.Gc, state.v, family=SYMMETRIC,
         coeff=coeff, row_mask=None,
@@ -76,3 +81,29 @@ def smooth_field(state, geom, pre, f, *, filt: Optional[PairFilter] = None):
     den = geom.w_self + (geom.w * pairm).sum(axis=0)
     out = num / den
     return jnp.where(filt.row(state.kind), out, f)
+
+
+def drag_lift(
+    state: ParticleState,
+    geom: PairGeom,
+    pre: Precomputed,
+    cfg: SimulationConfig,
+    body_mask: jax.Array,
+    *,
+    drag_dir=(1.0, 0.0, 0.0),
+    lift_dir=(0.0, 1.0, 0.0),
+):
+    """Drag/lift sums of the wall traction over body particles
+    (ComputeISPH_StatusFlowPastCylinder::compute_vector,
+    mls-src/compute_isph_status_flow_past_cylinder.cpp:156-195):
+    Cd = sum_i t_i . d, Cl = sum_i t_i . l over masked particles."""
+    dim = state.dim
+    t = traction_vector(state, geom, pre, cfg)  # (D, N)
+    w = (body_mask & state.valid).astype(state.dtype)
+    d = jnp.asarray(drag_dir[:dim], state.dtype)
+    l = jnp.asarray(lift_dir[:dim], state.dtype)
+    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-300)
+    l = l / jnp.maximum(jnp.linalg.norm(l), 1e-300)
+    cd = sum(t[k] * d[k] for k in range(dim))
+    cl = sum(t[k] * l[k] for k in range(dim))
+    return (cd * w).sum(), (cl * w).sum()

@@ -152,13 +152,18 @@ def csf_force(
     cfg: SimulationConfig,
     *,
     color: str = "corrected",
+    ignore_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full CSF pipeline -> (f_new, kappa, phase_normal).
 
     f -= alpha (1 - exp(-kappa_max / |kappa|)) kappa n |grad c|
-    (functor_continuum_surface_force.h:139-152)."""
+    (functor_continuum_surface_force.h:139-152).  ``ignore_mask`` (N,) zeroes
+    the phase gradient near prescribed geometric features
+    (FixISPH_IgnorePhaseGradient, fix_isph_ignore_phase_gradient.cpp)."""
     st = cfg.st
     grad = phase_gradient(state, geom, pre, cfg, color=color)
+    if ignore_mask is not None:
+        grad = grad * (~ignore_mask).astype(grad.dtype)[None, :]
     normal, mag = normalize_with_magnitude(grad)
     normal = correct_phase_normal(state, pre, normal, cfg)
     kappa = adami_curvature(state, geom, pre, normal, mag)
