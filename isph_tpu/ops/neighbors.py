@@ -245,3 +245,42 @@ def compute_pair_geometry(
     return PairGeom(
         idx=nbrs.idx, mask=maskf, rij=rij, r=r, eij=eij, w=w, dwdr=dwdr, w_self=w_self
     )
+
+
+def spatial_sort_order(
+    x: jax.Array, valid: jax.Array, domain: Domain, cutoff: float
+) -> jax.Array:
+    """Permutation ordering particles by cell id (invalid slots last).
+
+    The analogue of LAMMPS ``atom->sort`` (invoked from refreshParticles,
+    pair_isph.cpp:479): cell-ordered particles give the gather-SpMV spatial
+    locality and make slab partitioning (parallel/dist.py) valid.  Apply with
+    :func:`reorder_state`; NOTE external index lists (e.g. bond topologies)
+    must be remapped with the inverse permutation.
+    """
+    dim, n = x.shape
+    ncell, csize = _cell_grid(domain, cutoff)
+    xw = domain.wrap(x)
+    strides = [1] * dim
+    for d in range(dim - 2, -1, -1):
+        strides[d] = strides[d + 1] * ncell[d + 1]
+    cid = jnp.zeros((n,), jnp.int32)
+    for d in range(dim):
+        cd = jnp.clip(
+            jnp.floor((xw[d] - domain.lo[d]) / csize[d]).astype(jnp.int32),
+            0, ncell[d] - 1,
+        )
+        cid = cid + cd * strides[d]
+    cid = jnp.where(valid, cid, jnp.iinfo(jnp.int32).max)
+    return jnp.argsort(cid)
+
+
+def reorder_by(perm: jax.Array, tree):
+    """Permute every leaf of a particle-minor pytree along its last axis
+    (scalars () untouched)."""
+    def leaf(a):
+        if a is None or a.ndim == 0:
+            return a
+        return a[..., perm]
+
+    return jax.tree.map(leaf, tree)

@@ -83,3 +83,26 @@ def test_minimum_image_geometry():
     geom = compute_pair_geometry(x, nbrs, dom, get_kernel("Wendland"), 0.1)
     r = np.asarray(geom.r)[np.asarray(geom.mask) > 0]
     np.testing.assert_allclose(r, 0.1, rtol=1e-12)
+
+
+def test_spatial_sort_order_invariance():
+    """Reordering particles by cell id (LAMMPS atom->sort parity) leaves the
+    physics bitwise-near identical."""
+    import numpy as np
+    from isph_tpu.models import tgv
+    from isph_tpu.ops.neighbors import reorder_by, spatial_sort_order
+
+    sim, state = tgv.make_tgv(16)
+    rng = np.random.default_rng(0)
+    perm0 = jnp.asarray(rng.permutation(state.n))
+    scrambled = reorder_by(perm0, state)
+    order = spatial_sort_order(scrambled.x, scrambled.valid, sim.domain, sim.cfg.cut)
+    sorted_state = reorder_by(order, scrambled)
+    total = np.asarray(perm0)[np.asarray(order)]
+    inv = jnp.asarray(np.argsort(total))
+    s1, _ = sim.run(state, 1)
+    s2, _ = sim.run(sorted_state, 1)
+    s2u = reorder_by(inv, s2)
+    np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2u.x), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(s1.v), np.asarray(s2u.v), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(s1.p), np.asarray(s2u.p), atol=1e-13)
