@@ -248,3 +248,189 @@ def operator_matrix(
         idx=geom.idx,
         mask=geom.mask,
     )
+
+
+# ---------------------------------------------------------------------------
+# Compact-Poisson variant (penalty-constrained MLS)
+# ---------------------------------------------------------------------------
+
+def basis_deriv_values(basis: MLSBasis, geom: PairGeom, rth: float,
+                       beta: Tuple[int, int, int]) -> jax.Array:
+    """d^beta P_a evaluated at x_j (scaled_taylor_monomial.h dval with rij):
+    (NDOF, K, N).  dP_a = s^{alpha-beta} / (alpha-beta)! / rth^{|beta|}."""
+    s = [-geom.rij[d] / rth for d in range(basis.dim)] + [None]
+    rth_b = rth ** sum(beta)
+    out = []
+    for exps in basis.exps:
+        d_exps = tuple(a - b for a, b in zip(exps, beta))
+        if any(e < 0 for e in d_exps):
+            out.append(jnp.zeros_like(geom.r))
+            continue
+        term = jnp.ones_like(geom.r)
+        for e, d in zip(d_exps, range(3)):
+            if d < basis.dim and e > 0:
+                term = term * s[d] ** e / math.factorial(e)
+        out.append(term / rth_b)
+    return jnp.stack(out)
+
+
+def basis_deriv_self(basis: MLSBasis, beta: Tuple[int, int, int], rth: float):
+    """(index, value) of d^beta P at r=0: only alpha == beta survives."""
+    idx = deriv_index(basis.dim, basis.order, beta, basis.interpolation)
+    return idx, 1.0 / rth ** sum(beta)
+
+
+def _lap_betas(dim):
+    return [(2, 0, 0), (0, 2, 0), (0, 0, 2)][:dim]
+
+
+def _grad_betas(dim):
+    return [(1, 0, 0), (0, 1, 0), (0, 0, 1)][:dim]
+
+
+def cp_penalty_vectors(basis: MLSBasis, geom: PairGeom, rth: float,
+                       normal: jax.Array):
+    """(dq_lap (NDOF, K, N), dq_bnd (NDOF, K, N)) penalty basis vectors:
+    sum_k d^{2e_k} P and sum_k n_j^k d^{e_k} P
+    (functor_mls_mass_matrix_compact_poisson.h:148-184)."""
+    dim = basis.dim
+    dq_lap = sum(basis_deriv_values(basis, geom, rth, b) for b in _lap_betas(dim))
+    nj = [normal[d][geom.idx] for d in range(dim)]
+    dq_bnd = sum(
+        basis_deriv_values(basis, geom, rth, b) * nj[d][None, :, :]
+        for d, b in enumerate(_grad_betas(dim))
+    )
+    return dq_lap, dq_bnd
+
+
+def cp_self_penalty_vectors(basis: MLSBasis, rth: float, normal: jax.Array):
+    """Self (r=0) sparse penalty vectors densified: (NDOF, N) for lap and bnd."""
+    dim = basis.dim
+    dtype = normal.dtype
+    n = normal.shape[1]
+    nd = basis.ndof
+    lap = jnp.zeros((nd, n), dtype)
+    bnd = jnp.zeros((nd, n), dtype)
+    for d, b in enumerate(_lap_betas(dim)):
+        i, v = basis_deriv_self(basis, b, rth)
+        lap = lap.at[i].add(v)
+    for d, b in enumerate(_grad_betas(dim)):
+        i, v = basis_deriv_self(basis, b, rth)
+        bnd = bnd.at[i].add(v * normal[d])
+    return lap, bnd
+
+
+def cp_mass_matrix_inverse(
+    basis: MLSBasis,
+    geom: PairGeom,
+    rth: float,
+    kind: jax.Array,
+    filt: PairFilter,
+    normal: jax.Array,
+    *,
+    tau_interior: float,
+    tau_boundary: float,
+) -> jax.Array:
+    """Compact-Poisson Gram matrix with Laplacian/Neumann penalties and a
+    Lagrange-multiplier constraint row on Boundary particles
+    (functor_mls_mass_matrix_compact_poisson.h:60-260).  Returns the inverse
+    of the (NDOF+1, NDOF+1, N) extended system (the multiplier slot is an
+    identity row for non-boundary particles)."""
+    dim = basis.dim
+    dtype = geom.r.dtype
+    nd = basis.ndof
+    ndp = nd + 1
+    N = geom.n
+    c_int = tau_interior * rth**4  # pair_isph_mls.h:336
+    c_bnd = tau_boundary * rth**2  # pair_isph_mls.h:337
+
+    P = basis.values(geom, rth)
+    w = mls_weight(geom.r, rth) * filt.pair(kind, geom).astype(dtype) * geom.mask
+    dq_lap, dq_bnd = cp_penalty_vectors(basis, geom, rth, normal)
+    is_bnd_j = ((kind[geom.idx] & (Kind.SOLID | Kind.BOUNDARY)) != 0).astype(dtype)
+    w_bnd = w * is_bnd_j
+
+    P0 = basis.self_values(dtype)
+    w0 = mls_weight(jnp.zeros((), dtype), rth)
+    lap0, bnd0 = cp_self_penalty_vectors(basis, rth, normal)
+    is_bnd_i = ((kind & (Kind.SOLID | Kind.BOUNDARY)) != 0).astype(dtype)
+
+    M = jnp.zeros((ndp, ndp, N), dtype)
+    for a in range(nd):
+        for b in range(a, nd):
+            m_ab = (
+                (w * P[a] * P[b]).sum(axis=0)
+                + c_int * (w * dq_lap[a] * dq_lap[b]).sum(axis=0)
+                + c_bnd * (w_bnd * dq_bnd[a] * dq_bnd[b]).sum(axis=0)
+                + w0 * (P0[a] * P0[b] + c_int * lap0[a] * lap0[b]
+                        + c_bnd * is_bnd_i * bnd0[a] * bnd0[b])
+            )
+            M = M.at[a, b].set(m_ab)
+            if b != a:
+                M = M.at[b, a].set(m_ab)
+
+    # Lagrange constraint row/column on boundary rows: n.grad P at self
+    for a in range(nd):
+        con = bnd0[a] * is_bnd_i
+        M = M.at[a, nd].set(con)
+        M = M.at[nd, a].set(con)
+    M = M.at[nd, nd].set(1.0 - is_bnd_i)  # identity slot when unconstrained
+
+    # pin non-admitted / lonely rows to identity
+    ok = filt.row(kind).astype(dtype) * (geom.mask.sum(axis=0) > 0).astype(dtype)
+    eye = jnp.eye(ndp, dtype=dtype)[:, :, None]
+    M = M * ok[None, None, :] + eye * (1.0 - ok)[None, None, :]
+    return dense.inv_leading(M)
+
+
+def cp_moment_helper(
+    basis: MLSBasis,
+    geom: PairGeom,
+    rth: float,
+    u: jax.Array,
+    f_lap: jax.Array,
+    g_bnd: jax.Array,
+    kind: jax.Array,
+    filt: PairFilter,
+    normal: jax.Array,
+    *,
+    tau_interior: float,
+    tau_boundary: float,
+) -> jax.Array:
+    """Extended moments (NDOF+1, N): standard P w u + penalty moments with the
+    Laplacian data f and Neumann data g, plus the Lagrange RHS g_i on boundary
+    rows (functor_mls_helper_compact_poisson.h:115-283)."""
+    dim = basis.dim
+    dtype = geom.r.dtype
+    nd = basis.ndof
+    N = geom.n
+    c_int = tau_interior * rth**4
+    c_bnd = tau_boundary * rth**2
+
+    P = basis.values(geom, rth)
+    w = mls_weight(geom.r, rth) * filt.pair(kind, geom).astype(dtype) * geom.mask
+    dq_lap, dq_bnd = cp_penalty_vectors(basis, geom, rth, normal)
+    is_bnd_j = ((kind[geom.idx] & (Kind.SOLID | Kind.BOUNDARY)) != 0).astype(dtype)
+    w_bnd = w * is_bnd_j
+
+    uj = u[geom.idx]
+    fj = f_lap[geom.idx]
+    gj = g_bnd[geom.idx]
+
+    P0 = basis.self_values(dtype)
+    w0 = mls_weight(jnp.zeros((), dtype), rth)
+    lap0, bnd0 = cp_self_penalty_vectors(basis, rth, normal)
+    is_bnd_i = ((kind & (Kind.SOLID | Kind.BOUNDARY)) != 0).astype(dtype)
+
+    rows = []
+    for a in range(nd):
+        qa = (
+            (w * P[a] * uj).sum(axis=0)
+            + c_int * (w * dq_lap[a] * fj).sum(axis=0)
+            + c_bnd * (w_bnd * dq_bnd[a] * gj).sum(axis=0)
+            + w0 * (P0[a] * u + c_int * lap0[a] * f_lap
+                    + c_bnd * is_bnd_i * bnd0[a] * g_bnd)
+        )
+        rows.append(qa)
+    rows.append(g_bnd * is_bnd_i)  # Lagrange RHS
+    return jnp.stack(rows)

@@ -131,3 +131,64 @@ def test_mls_divergence_and_curl(cloud):
     cu = mls.curl(basis, Minv, qv, c["rth"])
     np.testing.assert_allclose(np.asarray(div), np.asarray(y - 2 * y), atol=1e-6)
     np.testing.assert_allclose(np.asarray(cu), np.asarray(1 - x), atol=1e-6)
+
+
+def test_mls_compact_poisson_gradient():
+    """CP-MLS gradient with manufactured u = sin(x)sin(y), Laplacian data
+    f = -2u and Neumann data g = grad u . n on wall particles — the reference
+    MLS::TestSuite::testMLS_GradientCompactPoisson
+    (mls-src/test_mls_gradient_compact_poisson.cpp).  The Lagrange constraint
+    makes n.grad at boundary particles match g exactly."""
+    import math
+
+    m = 24
+    L = 2 * math.pi
+    dx = L / m
+    wall = 4
+    ys = -wall * dx + (np.arange(m + 2 * wall) + 0.5) * dx
+    xs = (np.arange(m) + 0.5) * dx
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=-1)
+    is_bnd = (pts[:, 1] < 0) | (pts[:, 1] > L)
+    kind = np.where(is_bnd, Kind.BOUNDARY, Kind.FLUID_BIT).astype(np.int32)
+    n = pts.shape[0]
+
+    rth = 3.2 * dx
+    dom = Domain(lo=(0.0, -wall * dx), hi=(L, L + wall * dx), periodic=(True, False))
+    xj = jnp.asarray(pts.T)
+    nbrs = build_neighbor_list_bruteforce(xj, jnp.ones(n, bool), dom, rth, 64)
+    geom = compute_pair_geometry(xj, nbrs, dom, get_kernel("Wendland"), rth / 2)
+
+    # analytic wall normals (pointing into the fluid)
+    normal = np.zeros((2, n))
+    normal[1, pts[:, 1] < 0] = 1.0
+    normal[1, pts[:, 1] > L] = -1.0
+    normal = jnp.asarray(normal)
+
+    x, y = pts[:, 0], pts[:, 1]
+    u = jnp.asarray(np.sin(x) * np.sin(y))
+    f = jnp.asarray(-2.0 * np.sin(x) * np.sin(y))
+    nvec = np.asarray(normal)
+    g = jnp.asarray(np.cos(x) * np.sin(y) * nvec[0] + np.sin(x) * np.cos(y) * nvec[1])
+
+    basis = mls.MLSBasis(dim=2, order=2)
+    filt = PairFilter(Kind.ALL, Kind.ALL)
+    kindj = jnp.asarray(kind)
+    Minv = mls.cp_mass_matrix_inverse(
+        basis, geom, rth, kindj, filt, normal,
+        tau_interior=0.01, tau_boundary=0.01,  # reference defaults (pair_isph_mls.cpp:999-1000)
+    )
+    q = mls.cp_moment_helper(
+        basis, geom, rth, u, f, g, kindj, filt, normal,
+        tau_interior=0.01, tau_boundary=0.01,
+    )
+    gr = mls.gradient(basis, Minv, q, rth)
+    gx_ex = np.cos(x) * np.sin(y)
+    gy_ex = np.sin(x) * np.cos(y)
+    interior = (pts[:, 1] > 0.5) & (pts[:, 1] < L - 0.5)
+    np.testing.assert_allclose(np.asarray(gr[0])[interior], gx_ex[interior], atol=4e-2)
+    np.testing.assert_allclose(np.asarray(gr[1])[interior], gy_ex[interior], atol=4e-2)
+    # Lagrange constraint: n.grad u at boundary particles == g exactly
+    bmask = is_bnd
+    ng = np.asarray(gr[0]) * nvec[0] + np.asarray(gr[1]) * nvec[1]
+    np.testing.assert_allclose(ng[bmask], np.asarray(g)[bmask], atol=1e-8)
