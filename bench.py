@@ -50,7 +50,8 @@ def bench_spmv(n_lattice=256, max_neighbors=48, iters=1000):
 
     _log(f"spmv: building n_lattice={n_lattice}")
     sim, state = tgv.make_tgv(
-        n_lattice, dtype=jnp.float32, max_neighbors=max_neighbors, pad_multiple=128
+        n_lattice, dtype=jnp.float32, max_neighbors=max_neighbors, pad_multiple=128,
+        gather_chunks=16,
     )
     nbrs = jax.jit(sim.neighbors)(state)
     assert int(nbrs.overflow) == 0, "neighbor overflow in bench"
@@ -109,7 +110,8 @@ def bench_step(n_lattice=128, max_neighbors=48, steps=5):
     from isph_tpu.models import tgv
 
     sim, state = tgv.make_tgv(
-        n_lattice, dtype=jnp.float32, max_neighbors=max_neighbors, pad_multiple=128
+        n_lattice, dtype=jnp.float32, max_neighbors=max_neighbors, pad_multiple=128,
+        gather_chunks=16,
     )
     # keep the TPU step-program lean: Jacobi instead of the scatter-heavy AMG
     # build until AMG-on-TPU is profiled

@@ -55,12 +55,12 @@ class KernelConfig:
 class SolverConfig:
     """Krylov solver defaults (reference solver_lin_belos.h:224-263)."""
 
-    method: str = "gmres"  # "gmres" | "cg"
+    method: str = "gmres"  # "gmres" | "cg" | "pipelined_cg"
     tol: float = 1.0e-8  # relative residual
     restart: int = 50  # GMRES basis size ("Num Blocks")
     max_restarts: int = 15
     max_iters: int = 500
-    precond: str = "amg"  # "none" | "jacobi" | "amg" (AMG applies where the
+    precond: str = "amg"  # "none" | "jacobi" | "ilu" | "amg" (AMG applies where the
     # solve has domain info in scope, i.e. the pressure Poisson; elsewhere it
     # falls back to Jacobi — the reference pairs Belos with ML the same way)
 
@@ -162,6 +162,9 @@ class NeighborConfig:
 
     max_neighbors: int = 64  # K: padded neighbor width
     cell_capacity: int = 32  # max particles per cell bin
+    gather_chunks: int = 0  # >0: build a pallas windowed-gather plan with this
+    # many 128-wide chunks per row tile (ops/spmv_pallas.py); 0 disables.
+    # Requires N % 128 == 0 (pad_multiple=128) and spatially sorted particles.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,9 +58,11 @@ class Simulation:
                 state.x, state.valid, self.domain, self.cfg.cut,
                 self.cfg.neighbor.max_neighbors,
             )
+        gc = self.cfg.neighbor.gather_chunks
         return build_neighbor_list(
             state.x, state.valid, self.domain, self.cfg.cut,
             self.cfg.neighbor.max_neighbors, self.cfg.neighbor.cell_capacity,
+            gather_chunks=gc if gc > 0 else None,
         )
 
     def geometry(self, state: ParticleState, nbrs: NeighborList) -> PairGeom:

@@ -56,6 +56,7 @@ def make_tgv(
     max_neighbors: int = 48,
     dtype=jnp.float64,
     pad_multiple: int = 8,
+    gather_chunks: int = 0,
 ) -> Tuple[Simulation, ParticleState]:
     dim = 2
     L = 2.0 * math.pi
@@ -100,7 +101,8 @@ def make_tgv(
             use_momentum_preserve_operator=momentum_preserve,
         ),
         shift=ShiftConfig(enabled=shift > 0.0, shift=shift),
-        neighbor=NeighborConfig(max_neighbors=max_neighbors, cell_capacity=_cell_cap(dx, cut_over_h * h)),
+        neighbor=NeighborConfig(max_neighbors=max_neighbors, cell_capacity=_cell_cap(dx, cut_over_h * h),
+                                gather_chunks=gather_chunks),
     )
     domain = Domain(lo=(0.0, 0.0), hi=(L, L), periodic=(True, True))
     return Simulation(cfg=cfg, domain=domain), state

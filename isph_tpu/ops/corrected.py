@@ -374,6 +374,164 @@ def curl(
     return g[1, 0] - g[0, 1]
 
 
+def curlcurl(
+    geom: PairGeom,
+    vfrac: jax.Array,
+    Gc: jax.Array,
+    f: jax.Array,
+    *,
+    family: Family = SYMMETRIC,
+    row_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Corrected curl-of-curl (functor_curlcurl.h:18-121): the inner curl is
+    evaluated for ALL particles (FilterAny + halo comm in the reference,
+    functor_curlcurl.h:63-77), the outer curl takes the row filter.
+
+    2D: inner curl is the scalar vorticity w; the outer curl of the scalar
+    (0,0,w) is the rotated gradient (dw/dy, -dw/dx).  3D: curl twice.
+    Returns (D, N).
+    """
+    w = curl(geom, vfrac, Gc, f, family=family)  # all rows
+    if geom.dim == 3:
+        return curl(geom, vfrac, Gc, w, family=family, row_mask=row_mask)
+    gw = gradient(geom, vfrac, Gc, w[None, :], family=family, row_mask=row_mask)
+    return jnp.stack([gw[0, 1], -gw[0, 0]])
+
+
+def boundary_coordinate(
+    geom: PairGeom,
+    x: jax.Array,
+    normal: jax.Array,
+    kind: jax.Array,
+) -> jax.Array:
+    """Normal coordinate of the fluid/solid interface per particle
+    (functor_normal.h:138-190).
+
+    Projects self + neighbors onto the particle's interface normal and finds
+    the 1-D threshold that best separates Fluid from Solid coordinates (the
+    reference walks the sorted coords tracking max(n_solid_remaining,
+    n_fluid_passed) and splits at the first increase); bd_coord is the
+    midpoint of the two coordinates straddling the optimal split.  Zero where
+    the neighborhood has no solid particle.
+    """
+    dtype = x.dtype
+    K, n = geom.idx.shape
+    dim = geom.dim
+    kj = kind[geom.idx]
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+
+    # coords (K+1, N): neighbors + self; padded slots pushed to +inf
+    ncoord_j = sum(x[d][geom.idx] * normal[d][None, :] for d in range(dim))
+    ncoord_i = sum(x[d] * normal[d] for d in range(dim))
+    coords = jnp.concatenate([jnp.where(geom.mask > 0, ncoord_j, big), ncoord_i[None, :]])
+    is_solid = jnp.concatenate(
+        [((kj & Kind.SOLID) != 0) & (geom.mask > 0), ((kind & Kind.SOLID) != 0)[None, :]]
+    )
+    is_fluid = jnp.concatenate(
+        [((kj & Kind.FLUID) != 0) & (geom.mask > 0), ((kind & Kind.FLUID) != 0)[None, :]]
+    )
+
+    order = jnp.argsort(coords, axis=0)
+    coords_s = jnp.take_along_axis(coords, order, axis=0)
+    solid_s = jnp.take_along_axis(is_solid, order, axis=0).astype(jnp.int32)
+    fluid_s = jnp.take_along_axis(is_fluid, order, axis=0).astype(jnp.int32)
+
+    n_solid_total = solid_s.sum(axis=0)
+    # after passing element t: solid remaining below, fluid passed above
+    cums = jnp.cumsum(solid_s, axis=0)
+    cumf = jnp.cumsum(fluid_s, axis=0)
+    misclass = jnp.maximum(n_solid_total[None, :] - cums, cumf)  # (K+1, N)
+    prev = jnp.concatenate([n_solid_total[None, :], misclass[:-1]], axis=0)
+    increase = misclass > prev  # first True marks the split (reference break)
+    t_split = jnp.argmax(increase, axis=0)  # 0 if never increases
+    any_inc = increase.any(axis=0)
+    t_lo = jnp.maximum(t_split - 1, 0)
+    c_lo = jnp.take_along_axis(coords_s, t_lo[None, :], axis=0)[0]
+    c_hi = jnp.take_along_axis(coords_s, t_split[None, :], axis=0)[0]
+    bd = 0.5 * (c_lo + c_hi)
+    # fall back to the last finite coordinate when misclass is monotone
+    n_valid = (geom.mask > 0).sum(axis=0) + 1
+    c_last = jnp.take_along_axis(coords_s, (n_valid - 1)[None, :], axis=0)[0]
+    bd = jnp.where(any_inc, bd, c_last)
+
+    has_solid = (((kj & Kind.SOLID) != 0) & (geom.mask > 0)).any(axis=0)
+    return jnp.where(has_solid, bd, 0.0)
+
+
+def morris_normal_mirror(
+    geom: PairGeom,
+    x: jax.Array,
+    normal: jax.Array,
+    bd_coord: jax.Array,
+    cut: float,
+    h: float,
+    safe: float = 0.43301,
+) -> jax.Array:
+    """Morris mirror coefficient using the interface normal and boundary
+    coordinate (mirror_morris_normal.h:41-57): distances of i and j to the
+    boundary plane along n_i; coeff = 1 + d_j / max(d_i, safe h)."""
+    dim = geom.dim
+    xi_i = sum(x[d] * normal[d] for d in range(dim))
+    xi_j = sum(x[d][geom.idx] * normal[d][None, :] for d in range(dim))
+    d_i = jnp.abs(xi_i - bd_coord) + cut * 1e-8
+    d_j = jnp.abs(xi_j - bd_coord[None, :])
+    return 1.0 + d_j / jnp.maximum(d_i[None, :], safe * h)
+
+
+# ---------------------------------------------------------------------------
+# Uncorrected operator variants (functor_uncorrected_{gradient,divergence,
+# laplacian}[_matrix].h): the same contractions with identity correction
+# tensors (used e.g. by fluctuating hydrodynamics where the corrected tensors
+# would break the discrete fluctuation-dissipation symmetry).
+# ---------------------------------------------------------------------------
+
+def _identity_G(geom: PairGeom, dtype) -> jax.Array:
+    d = geom.dim
+    return jnp.broadcast_to(jnp.eye(d, dtype=dtype)[:, :, None], (d, d, geom.n))
+
+
+def _identity_L(geom: PairGeom, dtype) -> jax.Array:
+    d = geom.dim
+    return jnp.broadcast_to(
+        jnp.asarray(packed_identity(d), dtype)[:, None], (packed_len(d), geom.n)
+    )
+
+
+def uncorrected_gradient(geom, vfrac, f, **kw):
+    return gradient(geom, vfrac, _identity_G(geom, geom.r.dtype), f, **kw)
+
+
+def uncorrected_divergence(geom, vfrac, f, **kw):
+    return divergence(geom, vfrac, _identity_G(geom, geom.r.dtype), f, **kw)
+
+
+def uncorrected_laplacian(geom, vfrac, kind, f, **kw):
+    return laplacian(
+        geom, vfrac, _identity_G(geom, geom.r.dtype), _identity_L(geom, geom.r.dtype),
+        kind, f, **kw
+    )
+
+
+def laplacian(geom, vfrac, Gc, Lc, kind, f, *, alpha: float = 1.0,
+              filt: Optional["PairFilter"] = None, family: "Family" = None, **kw):
+    """Point-wise corrected Laplacian (functor_laplacian.h): evaluates the
+    same two-pass contraction as the row assembly, so it is implemented as
+    the matvec of :func:`laplacian_matrix` (identical math, one fused pass).
+    f: (N,) or (d, N)."""
+    filt = filt if filt is not None else PairFilter(Kind.ALL, Kind.ALL)
+    family = family if family is not None else SYMMETRIC
+    A = laplacian_matrix(geom, vfrac, Gc, Lc, kind, alpha=alpha, filt=filt,
+                         family=family, **kw)
+    return A.matvec(f)
+
+
+def uncorrected_laplacian_matrix(geom, vfrac, kind, **kw):
+    return laplacian_matrix(
+        geom, vfrac, _identity_G(geom, geom.r.dtype), _identity_L(geom, geom.r.dtype),
+        kind, **kw
+    )
+
+
 # ---------------------------------------------------------------------------
 # Laplacian matrix assembly (functor_laplacian_matrix.h:72-316)
 # ---------------------------------------------------------------------------
@@ -439,7 +597,7 @@ def laplacian_matrix(
 
     vals = alpha * (off1 + off2) * rowf[None, :] * geom.mask
     diag = alpha * (diag1 + diag2) * rowf
-    return ELL(diag=diag, vals=vals, idx=geom.idx, mask=geom.mask)
+    return ELL(diag=diag, vals=vals, idx=geom.idx, mask=geom.mask, plan=geom.plan)
 
 
 def gradient_dot_matrix(
@@ -475,4 +633,4 @@ def gradient_dot_matrix(
         diag = alpha * aij.sum(axis=0) * row
     else:
         diag = -alpha * aij.sum(axis=0) * row
-    return ELL(diag=diag, vals=vals, idx=geom.idx, mask=geom.mask)
+    return ELL(diag=diag, vals=vals, idx=geom.idx, mask=geom.mask, plan=geom.plan)

@@ -23,9 +23,12 @@ reference's Thyra 3x3 block operator (solver_lin.cpp:78-107).
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from isph_tpu.ops.spmv_pallas import GatherPlan
 
 
 @jax.tree_util.register_dataclass
@@ -37,6 +40,10 @@ class ELL:
     vals: jax.Array  # (K, N)
     idx: jax.Array  # (K, N) int32
     mask: jax.Array  # (K, N) float 0/1
+    # optional windowed-gather plan: when present (and running on TPU in f32)
+    # matvec dispatches to the pallas chunk-gather kernel (ops/spmv_pallas.py)
+    # instead of the XLA scalar gather (measured ~85x faster on v5e)
+    plan: Optional[GatherPlan] = None
 
     @property
     def n(self) -> int:
@@ -46,6 +53,14 @@ class ELL:
         """x: (N,) -> (N,); or (d, N) multivector -> (d, N) (the reference
         solves the Helmholtz system as an [nlocal x dim] Belos multivector,
         pair_isph.cpp:936)."""
+        if (
+            self.plan is not None
+            and x.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        ):
+            from isph_tpu.ops.spmv_pallas import spmv
+
+            return spmv(self.plan, self.diag, self.vals * self.mask, self.idx, x)
         vm = self.vals * self.mask
         if x.ndim == 1:
             return self.diag * x + (vm * x[self.idx]).sum(axis=0)
@@ -57,22 +72,22 @@ class ELL:
     def left_scale(self, s: jax.Array) -> "ELL":
         """Row scaling (Epetra LeftScale, used to apply 1/rho,
         functor_incomp_navier_stokes_helmholtz.h:83-86)."""
-        return ELL(self.diag * s, self.vals * s[None, :], self.idx, self.mask)
+        return ELL(self.diag * s, self.vals * s[None, :], self.idx, self.mask, self.plan)
 
     def scale(self, a) -> "ELL":
-        return ELL(self.diag * a, self.vals * a, self.idx, self.mask)
+        return ELL(self.diag * a, self.vals * a, self.idx, self.mask, self.plan)
 
     def with_diag(self, diag: jax.Array) -> "ELL":
-        return ELL(diag, self.vals, self.idx, self.mask)
+        return ELL(diag, self.vals, self.idx, self.mask, self.plan)
 
     def add(self, other: "ELL") -> "ELL":
         """Sum of two matrices sharing the same sparsity (idx/mask)."""
-        return ELL(self.diag + other.diag, self.vals + other.vals, self.idx, self.mask)
+        return ELL(self.diag + other.diag, self.vals + other.vals, self.idx, self.mask, self.plan)
 
     def zero_rows(self, rows: jax.Array) -> "ELL":
         """Zero out full rows where ``rows`` (N,) bool is True (keeps diag)."""
         keep = (~rows).astype(self.vals.dtype)
-        return ELL(self.diag, self.vals * keep[None, :], self.idx, self.mask)
+        return ELL(self.diag, self.vals * keep[None, :], self.idx, self.mask, self.plan)
 
     def to_dense(self) -> jax.Array:
         """For tests only: (N, N) dense with A[i, j]."""

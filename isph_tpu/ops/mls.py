@@ -247,6 +247,7 @@ def operator_matrix(
         vals=vals * scale[None, :],
         idx=geom.idx,
         mask=geom.mask,
+        plan=geom.plan,
     )
 
 

@@ -32,6 +32,7 @@ import numpy as np
 
 from isph_tpu.state import Domain
 from isph_tpu.ops.kernels import Kernel
+from isph_tpu.ops.spmv_pallas import GatherPlan, make_gather_plan
 
 
 @jax.tree_util.register_dataclass
@@ -44,6 +45,9 @@ class NeighborList:
     mask: jax.Array  # (K, N) bool
     count: jax.Array  # (N,) int32 — true neighbor count per particle
     overflow: jax.Array  # () int32 — positive if K or cell capacity overflowed
+    # optional pallas windowed-gather plan (built when gather_chunks is set);
+    # its overflow is folded into ``overflow`` so the existing detection works
+    plan: Optional[GatherPlan] = None
 
 
 @jax.tree_util.register_dataclass
@@ -61,6 +65,7 @@ class PairGeom:
     w: jax.Array  # (K, N) kernel value
     dwdr: jax.Array  # (K, N) kernel radial derivative
     w_self: jax.Array  # () kernel value at r=0
+    plan: Optional[GatherPlan] = None  # copied from the NeighborList
 
     @property
     def k(self) -> int:
@@ -75,7 +80,16 @@ class PairGeom:
         return self.rij.shape[0]
 
     def gather(self, f: jax.Array) -> jax.Array:
-        """f (N,) -> (K, N); f (D, N) -> (D, K, N)."""
+        """f (N,) -> (K, N); f (D, N) -> (D, K, N).  Dispatches to the pallas
+        windowed-gather kernel when a plan is attached (TPU, f32)."""
+        if (
+            self.plan is not None
+            and f.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        ):
+            from isph_tpu.ops.spmv_pallas import take
+
+            return take(self.plan, self.idx, f)
         if f.ndim == 1:
             return f[self.idx]
         return f[:, self.idx]
@@ -104,6 +118,7 @@ def build_neighbor_list(
     cutoff: float,
     max_neighbors: int,
     cell_capacity: int = 32,
+    gather_chunks: Optional[int] = None,
 ) -> NeighborList:
     """Cell-list neighbor search with static shapes.
 
@@ -186,7 +201,12 @@ def build_neighbor_list(
 
     count = good.sum(axis=0).astype(jnp.int32)
     overflow = jnp.maximum(count.max() - K, 0) + cell_overflow
-    return NeighborList(idx=idx, mask=mask, count=count, overflow=overflow.astype(jnp.int32))
+    plan = None
+    if gather_chunks is not None:
+        plan = make_gather_plan(idx, gather_chunks)
+        overflow = overflow + plan.overflow
+    return NeighborList(idx=idx, mask=mask, count=count,
+                        overflow=overflow.astype(jnp.int32), plan=plan)
 
 
 def build_neighbor_list_bruteforce(
@@ -243,7 +263,8 @@ def compute_pair_geometry(
     dwdr = kernel.dw(r, h, dim) * maskf
     w_self = kernel.w(jnp.zeros((), dtype), h, dim)
     return PairGeom(
-        idx=nbrs.idx, mask=maskf, rij=rij, r=r, eij=eij, w=w, dwdr=dwdr, w_self=w_self
+        idx=nbrs.idx, mask=maskf, rij=rij, r=r, eij=eij, w=w, dwdr=dwdr,
+        w_self=w_self, plan=nbrs.plan,
     )
 
 

@@ -61,10 +61,19 @@ def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=Non
         # AMG hierarchy (replaces ML, precond_ml.h); amg = (x, domain, cutoff)
         x_pos, domain, cutoff = amg
         M = build_amg(A, x_pos, domain, cutoff).apply
+    elif sc.precond == "ilu":
+        from isph_tpu.solvers.ilu import ilu0
+
+        M = ilu0(A)
     elif sc.precond in ("jacobi", "amg"):
         M = jacobi(A)
     else:
         M = None
+    if sc.method == "pipelined_cg":
+        from isph_tpu.solvers.krylov import pipelined_cg
+
+        return pipelined_cg(A.matvec, b, x0, M=M, tol=sc.tol, maxiter=sc.max_iters,
+                            null_vec=null_vec, axis_name=axis_name)
     if sc.method == "cg":
         return cg(A.matvec, b, x0, M=M, tol=sc.tol, maxiter=sc.max_iters,
                   null_vec=null_vec, axis_name=axis_name)

@@ -109,7 +109,7 @@ def assemble_h(
     vals = shielded_coulomb(geom.r, gamma_ij, tap) * within
     diag = eta[type_id] * valid.astype(dtype) + (~valid).astype(dtype)
     vf = valid.astype(dtype)
-    return ELL(diag=diag, vals=vals * vf[None, :], idx=geom.idx, mask=geom.mask)
+    return ELL(diag=diag, vals=vals * vf[None, :], idx=geom.idx, mask=geom.mask, plan=geom.plan)
 
 
 class QEqResult(NamedTuple):

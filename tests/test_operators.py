@@ -170,3 +170,83 @@ def test_ell_matvec_multivector(setup):
     y = np.asarray(A.matvec(X))
     for d in range(3):
         np.testing.assert_allclose(y[d], np.asarray(A.matvec(X[d])), atol=1e-12)
+
+
+def test_curlcurl_identity_on_quadratic(setup_nonperiodic):
+    """curl(curl v) for a 2D quadratic velocity: with exact-on-linears
+    corrected gradients, the inner curl w = dv_y/dx - dv_x/dy is linear and
+    the outer rotated gradient is exact, so the discrete curlcurl matches the
+    analytic (dw/dy, -dw/dx)."""
+    s = setup_nonperiodic
+    x = s["x"]
+    # v = (a x^2 + b y^2, c x y) -> w = c y - 2 b y = (c - 2b) y (linear!)
+    a, b, c = 0.4, -0.3, 0.7
+    v = jnp.asarray(np.stack([a * x[:, 0] ** 2 + b * x[:, 1] ** 2,
+                              c * x[:, 0] * x[:, 1]]))
+    cc = np.asarray(ops.curlcurl(s["geom"], s["vf"], s["Gc"], v, family=SYMMETRIC))
+    # analytic: w = (c-2b) y -> curlcurl = (dw/dy, -dw/dx) = (c-2b, 0)
+    # inner curl is itself only first-order accurate on quadratics, so allow
+    # a discretization tolerance rather than exactness
+    assert abs(np.median(cc[0]) - (c - 2 * b)) < 0.15
+    assert abs(np.median(cc[1])) < 0.15
+
+
+def test_uncorrected_gradient_matches_identity_correction(setup_nonperiodic):
+    s = setup_nonperiodic
+    f = jnp.asarray(np.sin(3 * s["x"][:, 0]))
+    g1 = ops.uncorrected_gradient(s["geom"], s["vf"], f, family=SYMMETRIC)
+    eye = ops._identity_G(s["geom"], s["geom"].r.dtype)
+    g2 = ops.gradient(s["geom"], s["vf"], eye, f, family=SYMMETRIC)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+
+
+def test_point_laplacian_matches_matrix(setup_nonperiodic):
+    s = setup_nonperiodic
+    f = jnp.asarray(np.cos(2 * s["x"][:, 1]))
+    A = ops.laplacian_matrix(
+        s["geom"], s["vf"], s["Gc"], s["Lc"], s["state"].kind,
+        alpha=1.0, filt=PairFilter(Kind.ALL, Kind.ALL), family=SYMMETRIC,
+    )
+    lp = ops.laplacian(s["geom"], s["vf"], s["Gc"], s["Lc"], s["state"].kind, f)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(A.matvec(f)))
+
+
+def _wall_setup():
+    """Half-fluid half-solid slab for boundary-coordinate / mirror tests:
+    solid occupies y < 0.5 exactly."""
+    rng = np.random.default_rng(7)
+    m = 12
+    L = 1.0
+    dx = L / m
+    x = (np.stack(np.meshgrid(*[np.arange(m)] * 2, indexing="ij"), -1).reshape(-1, 2) + 0.5) * dx
+    x += rng.uniform(-0.1, 0.1, x.shape) * dx
+    kind = np.where(x[:, 1] < 0.5, Kind.SOLID, Kind.FLUID_BIT).astype(np.int32)
+    dom = Domain(lo=(0.0, 0.0), hi=(L, L), periodic=(True, False))
+    state = make_state(x, kind=kind, dtype=jnp.float64)
+    h = 1.5 * dx
+    cutoff = 2 * h
+    nbrs = build_neighbor_list_bruteforce(state.x, state.valid, dom, cutoff, 64)
+    geom = compute_pair_geometry(state.x, nbrs, dom, get_kernel("Wendland"), h)
+    vf = ops.shepard_volume(geom)
+    Gc = ops.gradient_correction(geom, vf)
+    return state, geom, vf, Gc, h, cutoff, x, kind
+
+
+def test_boundary_coordinate_finds_wall():
+    state, geom, vf, Gc, h, cutoff, x, kind = _wall_setup()
+    normal, pnd = ops.interface_normal(geom, vf, state.kind, Gc, h)
+    bd = np.asarray(ops.boundary_coordinate(geom, state.x, normal, state.kind))
+    # fluid particles near the wall: boundary plane at y=0.5; their normal is
+    # ~(0, ±1) so |bd| ~ 0.5
+    near = (np.abs(x[:, 1] - 0.5) < cutoff) & (kind == Kind.FLUID_BIT)
+    vals = np.abs(bd[near])
+    assert np.median(np.abs(vals - 0.5)) < 0.08, np.median(vals)
+
+
+def test_morris_normal_mirror_bounds():
+    state, geom, vf, Gc, h, cutoff, x, kind = _wall_setup()
+    normal, pnd = ops.interface_normal(geom, vf, state.kind, Gc, h)
+    bd = ops.boundary_coordinate(geom, state.x, normal, state.kind)
+    coeff = np.asarray(ops.morris_normal_mirror(geom, state.x, normal, bd, cutoff, h))
+    assert np.isfinite(coeff).all()
+    assert (coeff >= 1.0 - 1e-12).all()

@@ -129,3 +129,141 @@ def test_newton_krylov_scalar_like():
     res = newton_krylov(residual, jacobian, x0, tol_f=1e-10, tol_update=1e-8)
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.x), 2.0, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# ILU(0) (Ifpack parity, precond_ifpack.h) — Chow–Patel sweeps + Jacobi solves
+# ---------------------------------------------------------------------------
+
+def _symmetric_pattern_ell(n=64, k=8, seed=5):
+    """Diagonally dominant nonsymmetric values on a SYMMETRIC pattern (SPH
+    graphs are symmetric: j in row_i <=> i in row_j)."""
+    rng = np.random.default_rng(seed)
+    nbrs = [set() for _ in range(n)]
+    for i in range(n):
+        while len(nbrs[i]) < k // 2:
+            j = int(rng.integers(0, n))
+            if j != i and len(nbrs[j]) < k:
+                nbrs[i].add(j)
+                nbrs[j].add(i)
+    idx = np.zeros((k, n), np.int32)
+    mask = np.zeros((k, n))
+    vals = np.zeros((k, n))
+    for i in range(n):
+        for s, j in enumerate(sorted(nbrs[i])[:k]):
+            idx[s, i] = j
+            mask[s, i] = 1.0
+            vals[s, i] = rng.uniform(-1.0, -0.1)
+    diag = -vals.sum(0) + rng.uniform(0.5, 1.5, n)
+    return ELL(diag=jnp.asarray(diag), vals=jnp.asarray(vals),
+               idx=jnp.asarray(idx), mask=jnp.asarray(mask))
+
+
+def test_ilu0_exact_on_tridiagonal():
+    """ILU(0) of a tridiagonal matrix is the exact LU factorization (no
+    fill-in), so the preconditioner solve reproduces A^{-1} r."""
+    from isph_tpu.solvers.ilu import build_ilu0
+
+    n = 40
+    idx = np.zeros((2, n), np.int32)
+    mask = np.zeros((2, n))
+    idx[0, 1:] = np.arange(n - 1)   # sub-diagonal
+    mask[0, 1:] = 1.0
+    idx[1, :-1] = np.arange(1, n)   # super-diagonal
+    mask[1, :-1] = 1.0
+    vals = np.where(mask > 0, -1.0, 0.0)
+    A = ELL(diag=jnp.full((n,), 2.5), vals=jnp.asarray(vals),
+            idx=jnp.asarray(idx), mask=jnp.asarray(mask))
+
+    fac = build_ilu0(A, nsweeps_factor=30, nsweeps_solve=n + 2)
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal(n))
+    z = fac.apply(r)
+    xex = np.linalg.solve(np.asarray(A.to_dense()), np.asarray(r))
+    np.testing.assert_allclose(np.asarray(z), xex, atol=1e-8)
+
+
+def test_ilu0_accelerates_gmres():
+    from isph_tpu.solvers.ilu import ilu0
+
+    A = _symmetric_pattern_ell()
+    xex = np.sin(np.arange(A.n))
+    b = A.matvec(jnp.asarray(xex))
+    plain = gmres(A.matvec, b, tol=1e-10, restart=10, max_restarts=30)
+    prec = gmres(A.matvec, b, M=ilu0(A), tol=1e-10, restart=10, max_restarts=30)
+    assert bool(prec.converged)
+    assert int(prec.iters) < int(plain.iters)
+    np.testing.assert_allclose(np.asarray(prec.x), xex, atol=1e-6)
+
+
+def test_ilu0_multivector_apply():
+    from isph_tpu.solvers.ilu import build_ilu0
+
+    A = _symmetric_pattern_ell(seed=9)
+    fac = build_ilu0(A)
+    r = jnp.asarray(np.random.default_rng(2).standard_normal((3, A.n)))
+    z = fac.apply(r)
+    assert z.shape == r.shape
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(z[d]), np.asarray(fac.apply(r[d])))
+
+
+# ---------------------------------------------------------------------------
+# Pipelined CG (CG_async parity, fix_qeq_reax.cpp:883-977)
+# ---------------------------------------------------------------------------
+
+def test_pipelined_cg_matches_cg():
+    from isph_tpu.solvers.krylov import pipelined_cg
+
+    Ad = _random_ell(spd=True, seed=7)
+    n = Ad.shape[0]
+    xex = np.random.default_rng(8).standard_normal(n)
+    b = jnp.asarray(Ad @ xex)
+    mv = lambda v: jnp.asarray(Ad) @ v
+    res = pipelined_cg(mv, b, tol=1e-12, maxiter=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), xex, atol=1e-8)
+
+
+def test_pipelined_cg_preconditioned():
+    from isph_tpu.solvers.krylov import pipelined_cg
+
+    A = _symmetric_pattern_ell(seed=11)
+    Ad = np.asarray(A.to_dense())
+    Ad = 0.5 * (Ad + Ad.T)
+    n = Ad.shape[0]
+    xex = np.random.default_rng(12).standard_normal(n)
+    b = jnp.asarray(Ad @ xex)
+    mv = lambda v: jnp.asarray(Ad) @ v
+    Minv = jnp.asarray(1.0 / np.diag(Ad))
+    res = pipelined_cg(mv, b, M=lambda r: Minv * r, tol=1e-11, maxiter=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), xex, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Recycling GMRES (GCRODR parity, solver_lin_belos.h:233)
+# ---------------------------------------------------------------------------
+
+def test_gmres_recycled_solves_and_recycles():
+    from isph_tpu.solvers.krylov import gmres_recycled, init_recycle
+
+    A = _random_ell(spd=False, seed=13)
+    n = A.n
+    rng = np.random.default_rng(14)
+    rec = init_recycle(n, k=5)
+    # first solve populates the recycle space
+    b1 = A.matvec(jnp.asarray(rng.standard_normal(n)))
+    res1, rec = gmres_recycled(A.matvec, b1, recycle=rec, tol=1e-10,
+                               restart=20, max_restarts=20)
+    assert bool(res1.converged)
+    # recycle space satisfies A U = C with C orthonormal
+    CU = np.asarray(jax.vmap(A.matvec)(rec.U))
+    np.testing.assert_allclose(CU, np.asarray(rec.C), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(rec.C @ rec.C.T), np.eye(5), atol=1e-8)
+    # second solve of the SAME matrix converges in no more cycles
+    b2 = A.matvec(jnp.asarray(rng.standard_normal(n)))
+    res2, rec = gmres_recycled(A.matvec, b2, recycle=rec, tol=1e-10,
+                               restart=20, max_restarts=20)
+    assert bool(res2.converged)
+    assert int(res2.iters) <= int(res1.iters)
