@@ -122,6 +122,10 @@ class SurfaceTensionConfig:
     alpha: float = 0.0  # surface-tension coefficient
     kappa_max: float = 0.0  # curvature regularization
     theta: float = 0.0  # contact angle
+    # pairwise-force sublist (pair_isph.cpp:1851-1869): force model and the
+    # phase-pair strength table "s:i:j" (None => all pairs use alpha)
+    pairwise_model: str = "tartakovsky_meakin"
+    s: Optional[Tuple[Tuple[float, ...], ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,812 @@
+"""Problem-deck library — sph-script parity.
+
+Each ``make_*`` builder reproduces one of the reference's ready-to-run problem
+decks (reference IMPLICIT-SPH/sph-script/*.lmp + *.xml; the deck list is
+sph-script/README).  The :data:`DECKS` registry maps reference deck names to
+builders so ``build_deck("lid-driven-cavity-2d")`` is the TPU-native
+equivalent of ``lmp -in lid-driven-cavity-2d.lmp``.
+
+TGV, Poiseuille/Couette and channel-EDL live in their own modules
+(:mod:`isph_tpu.models.tgv`, :mod:`~.channel`, :mod:`~.edl`) and are re-listed
+here for registry completeness.
+
+Parameters are transcribed from the decks themselves (cited per builder); a
+few that only exist inside unpublished ``.data`` files (e.g. viscosities set
+via LAMMPS ``set ... isph_viscosity``) are exposed as arguments with sensible
+defaults.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isph_tpu.config import (
+    BoundaryCond,
+    KernelConfig,
+    KernelType,
+    NavierStokesConfig,
+    NeighborConfig,
+    PoissonBoltzmannConfig,
+    AppliedElectricFieldConfig,
+    ShiftConfig,
+    SimulationConfig,
+    SingularPoisson,
+    SoluteTransportConfig,
+    SurfaceTensionConfig,
+)
+from isph_tpu.state import Domain, Kind, ParticleState, make_state
+from isph_tpu.models.driver import Simulation
+from isph_tpu.models import channel as channel_mod
+from isph_tpu.models import edl as edl_mod
+from isph_tpu.models import tgv as tgv_mod
+from isph_tpu.physics.bonds import BondList, harmonic_bond_force
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _cell_cap(dx: float, cutoff: float, dim: int = 2) -> int:
+    per_axis = int(math.ceil(cutoff / dx)) + 2
+    return per_axis**dim
+
+
+def _square_lattice(lo, hi, dx, dim=2):
+    """Square/cubic lattice of cell centers covering [lo, hi]^dim."""
+    axes = [lo[d] + (np.arange(int(round((hi[d] - lo[d]) / dx))) + 0.5) * dx
+            for d in range(dim)]
+    grids = np.meshgrid(*axes, indexing="ij")
+    return np.stack([g.ravel() for g in grids], axis=-1)
+
+
+def _neighbor_cfg(dx, cut, dim=2, max_neighbors=None, **kw):
+    if max_neighbors is None:
+        # worst-case neighbors within the cut on a square lattice, + slack
+        per = math.pi if dim == 2 else 4.0 * math.pi / 3.0
+        max_neighbors = _round_up(int(per * (cut / dx) ** dim * 1.3) + 8, 8)
+    return NeighborConfig(
+        max_neighbors=max_neighbors, cell_capacity=_cell_cap(dx, cut, dim), **kw
+    )
+
+
+# ---------------------------------------------------------------------------
+# lid-driven cavity (sph-script/lid-driven-cavity-2d.lmp + lid-driven-cavity.xml)
+# ---------------------------------------------------------------------------
+
+def make_lid_driven_cavity(
+    n: int = 32,
+    *,
+    dim: int = 2,
+    umax: float = 10.0,  # deck Umax (lid-driven-cavity-2d.lmp:20)
+    nu: float = 1.0,  # set via the deck's .data file; Re = umax/nu
+    rho: float = 1.0,
+    shift: float = 0.07,  # fix isph/shift 0.07 (deck :91)
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+) -> Tuple[Simulation, ParticleState]:
+    """Closed box [-1/2, 1/2]^dim, fluid interior, fixed side/bottom walls
+    (type 2), lid layer moving at Umax in +x (type 3 'surface', deck
+    lid-driven-cavity-2d.lmp:100-106).  h = 1.5 dx, dt = 0.1 h / Umax."""
+    L = 1.0
+    dx = L / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    nwall = int(math.ceil(cut / dx)) + 1
+
+    lo = [-0.5 - nwall * dx] * dim
+    hi = [0.5 + nwall * dx] * dim
+    pts = _square_lattice(lo, hi, dx, dim)
+    inside = np.all(np.abs(pts) < 0.5, axis=1)
+    is_lid = (pts[:, dim - 1] >= 0.5) & np.all(np.abs(pts[:, : dim - 1]) < 0.5, axis=1)
+    kind = np.where(inside, Kind.FLUID_BIT, Kind.SOLID).astype(np.int32)
+    v = np.zeros_like(pts)
+    v[is_lid, 0] = umax
+
+    n_real = pts.shape[0]
+    state = make_state(
+        pts, v=v, kind=kind, rho=rho, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    dt = 0.1 * h / umax
+    cfg = SimulationConfig(
+        dim=dim, h=h, dt=dt, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(
+            theta=0.5,
+            boundary=BoundaryCond.MORRIS_HOLMES,
+            singular_poisson=SingularPoisson.NULL_SPACE,
+        ),
+        shift=ShiftConfig(enabled=shift > 0.0, shift=shift),
+        neighbor=_neighbor_cfg(dx, cut, dim, max_neighbors),
+    )
+    domain = Domain(lo=tuple(lo), hi=tuple(hi), periodic=(True,) * dim)
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+# ---------------------------------------------------------------------------
+# square droplet / multiphase surface tension
+# (sph-script/square-droplet-2d.lmp + square-droplet.xml)
+# ---------------------------------------------------------------------------
+
+def make_square_droplet(
+    n: int = 36,  # deck N (square-droplet-2d.lmp:13): dx = r/N
+    *,
+    dim: int = 2,
+    r: float = 0.5,
+    rdrop: float = 0.3,
+    umax: float = 0.5,  # velocity scale for dt (deck :33-35)
+    nu: float = 0.1,  # set group all isph_viscosity 0.1 (deck :131)
+    rho: float = 1.0,
+    model: str = "pairwise",  # xml Modeling Method = PairwiseForce
+    s_same: float = 1.0,  # xml s:1:1 / s:2:2
+    s_cross: float = 0.001,  # xml s:1:2 / s:2:1
+    csf_alpha: float = 1.0,  # xml ContinuumSurfaceForce alpha
+    shift: float = 0.08,  # fix isph/shift 0.08 1.0 3h (deck :110-111)
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+) -> Tuple[Simulation, ParticleState]:
+    """Periodic box [-r, r]^dim; inner square |x|,|y| < rdrop is phase 0,
+    the rest phase 1; pairwise Tartakovsky-Meakin surface tension relaxes
+    the square into a circle (Laplace pressure jump)."""
+    dx = r / n
+    h = 1.4 * dx  # deck :26
+    cut = 3.0 * h  # xml cut over h = 3.0
+    pts = _square_lattice([-r] * dim, [r] * dim, dx, dim)
+    in_drop = np.all(np.abs(pts) < rdrop, axis=1)
+    n_real = pts.shape[0]
+
+    state = make_state(
+        pts, kind=np.full(n_real, Kind.FLUID_BIT, np.int32), rho=rho, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    phase = np.zeros(state.n, np.int32)
+    phase[:n_real] = np.where(in_drop, 0, 1)
+    state = state.replace(phase=jnp.asarray(phase))
+
+    dt = 0.4 * dx / umax
+    st = SurfaceTensionConfig(
+        enabled=True, model=model, alpha=csf_alpha, kappa_max=0.0,
+        pairwise_model="tartakovsky_meakin",
+        s=((s_same, s_cross), (s_cross, s_same)),
+    )
+    cfg = SimulationConfig(
+        dim=dim, h=h, dt=dt, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=3.0),
+        ns=NavierStokesConfig(
+            theta=0.5, singular_poisson=SingularPoisson.NULL_SPACE,
+            use_momentum_preserve_operator=True,
+        ),
+        st=st,
+        shift=ShiftConfig(enabled=shift > 0.0, shift=shift,
+                          shiftcut=3.0 * h, nonfluidweight=1.0),
+        neighbor=_neighbor_cfg(dx, cut, dim, max_neighbors),
+    )
+    domain = Domain(lo=(-r,) * dim, hi=(r,) * dim, periodic=(True,) * dim)
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+def droplet_anisotropy(state: ParticleState) -> jax.Array:
+    """Diagnostic: RMS radius anisotropy of phase-0 particles (1 = circle).
+    The square-droplet deck's qualitative target is a circular drop."""
+    w = ((state.phase == 0) & state.valid).astype(state.dtype)
+    c = (state.x * w[None, :]).sum(1) / w.sum()
+    d = state.x - c[:, None]
+    mom = jnp.stack([(d[i] * d[j] * w).sum() for i in range(state.dim)
+                     for j in range(state.dim)]).reshape(state.dim, state.dim)
+    ev = jnp.linalg.eigvalsh(mom / w.sum())
+    return jnp.sqrt(ev[-1] / jnp.maximum(ev[0], 1e-300))
+
+
+# ---------------------------------------------------------------------------
+# Poisson-Boltzmann harmonic (manufactured solution)
+# (sph-script/poisson-boltzmann-harmonic-2d.lmp + poisson-boltzmann-harmonic.xml)
+# ---------------------------------------------------------------------------
+
+def make_pb_harmonic(
+    n: int = 64,
+    *,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+):
+    """Periodic box [-pi, pi]^2, all fluid; manufactured solution
+    psi = sin(x) cos(y) with source f = -2 sin x cos y - sinh(sin x cos y)
+    (xml Extra F Function List), ezcb = 0.5, psiref = 1 => kappa^2 = 1.
+
+    Returns (sim, state, extra_f, psi_exact) — solve with
+    ``electrokinetics.solve_poisson_boltzmann(..., extra_f=extra_f)``.
+    The golden convergence table is
+    sph-script/conv-poisson-boltzmann-harmonic-2d-rev390.txt (rate ~2.0).
+    """
+    L = 2.0 * math.pi
+    dx = L / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    pts = _square_lattice([-math.pi] * 2, [math.pi] * 2, dx, 2)
+    n_real = pts.shape[0]
+    state = make_state(
+        pts, kind=np.full(n_real, Kind.FLUID_BIT, np.int32), rho=1.0, nu=0.0,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    state = state.replace(
+        psi=jnp.zeros(state.n, dtype),
+        psi0=jnp.zeros(state.n, dtype),
+        eps=jnp.ones(state.n, dtype),
+    )
+    psi_exact = jnp.sin(state.x[0]) * jnp.cos(state.x[1])
+    extra_f = -2.0 * psi_exact - jnp.sinh(psi_exact)
+
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=1.0, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(enabled=False),
+        pb=PoissonBoltzmannConfig(enabled=True, ezcb=0.5, psiref=1.0, gamma=0.0),
+        neighbor=_neighbor_cfg(dx, cut, 2, max_neighbors),
+    )
+    domain = Domain(lo=(-math.pi, -math.pi), hi=(math.pi, math.pi),
+                    periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain), state, extra_f, psi_exact
+
+
+# ---------------------------------------------------------------------------
+# applied electric field: linear / insulator / Henry
+# (sph-script/applied-efield-{linear,insulator}-2d.lmp, henry-efield-2d.lmp)
+# ---------------------------------------------------------------------------
+
+def make_applied_efield(
+    n: int = 32,
+    *,
+    mode: str = "linear",  # "linear" | "insulator" | "henry"
+    eapp: float = 1.0,
+    sratio: float = 0.0,  # inclusion/bulk conductivity ratio (insulator: 0)
+    a_frac: float = 0.25,  # inclusion radius / box half-width
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+):
+    """Conductivity Laplace solve div(sigma grad phi) = 0 in a square box
+    with buffer-Dirichlet strips at the x ends (phi = -+ eapp L/2, i.e. an
+    applied field E = eapp x̂; applied-efield-linear.xml type:2 =
+    buffer-dirichlet).  ``insulator``/``henry`` carve a central disk with
+    conductivity sratio * bulk; the analytic Henry potential
+    (compute_isph_applied_electric_potential_henry.cpp:214-250) is returned
+    as the reference field.
+
+    Returns (sim, state, phi_exact or None).
+    """
+    L = 2.0
+    dx = L / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    nbuf = int(math.ceil(cut / dx)) + 1
+    lo = [-1.0 - nbuf * dx, -1.0]
+    hi = [1.0 + nbuf * dx, 1.0]
+    pts = _square_lattice(lo, hi, dx, 2)
+    n_real = pts.shape[0]
+    is_buf = np.abs(pts[:, 0]) > 1.0
+    kind = np.where(is_buf, Kind.BUFFER_DIRICHLET, Kind.FLUID_BIT).astype(np.int32)
+
+    a = a_frac * 1.0
+    rsq = (pts**2).sum(1)
+    in_disk = rsq < a * a
+    if mode == "insulator":
+        # the reference deck types the inclusion SOLID with conductivity 0
+        # (applied-efield-insulator-2d.lmp:126-132): solid is excluded from
+        # fluid rows AND columns (FilterMatchBinary(Fluid, Fluid)), so the
+        # disk becomes a hole with a natural no-flux boundary — exactly the
+        # perfect-insulator condition.
+        kind = np.where(in_disk, Kind.SOLID, kind).astype(np.int32)
+
+    state = make_state(
+        pts, kind=kind, rho=1.0, nu=0.0,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    sigma = np.ones(state.n)
+    phi0 = np.zeros(state.n)
+    phi0[:n_real] = -eapp * pts[:, 0]  # buffer Dirichlet values; linear exact
+    if mode in ("insulator", "henry"):
+        sigma[:n_real] = np.where(in_disk, max(sratio, 1e-6), 1.0)
+    state = state.replace(
+        sigma=jnp.asarray(sigma, dtype),
+        phi=jnp.asarray(phi0, dtype),
+        phigrad=jnp.zeros((2, state.n), dtype),
+    )
+
+    phi_exact = None
+    if mode == "linear":
+        phi_exact = jnp.asarray(-eapp * np.pad(pts[:, 0], (0, state.n - n_real)), dtype)
+    elif mode in ("insulator", "henry"):
+        from isph_tpu.models.geometry import henry_solution
+        phi_exact, _ = henry_solution(
+            state.x, (0.0, 0.0), eapp=eapp, a=a, sratio=max(sratio, 1e-6)
+        )
+
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=1.0, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(enabled=False),
+        ae=AppliedElectricFieldConfig(enabled=True, e=(eapp, 0.0, 0.0)),
+        neighbor=_neighbor_cfg(dx, cut, 2, max_neighbors),
+    )
+    domain = Domain(lo=tuple(lo), hi=tuple(hi), periodic=(False, True))
+    return Simulation(cfg=cfg, domain=domain), state, phi_exact
+
+
+# ---------------------------------------------------------------------------
+# charged membrane / electroosmotic channel
+# (sph-script/charged-membrane-2d.lmp, flow-charged-pore-3d.lmp)
+# ---------------------------------------------------------------------------
+
+def make_charged_channel(
+    n: int = 32,
+    *,
+    psi_wall: float = 1.0,
+    ezcb: float = 50.0,
+    eapp: float = 1.0,
+    nu: float = 0.1,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+) -> Tuple[Simulation, ParticleState]:
+    """Electroosmotic flow: charged walls (EDL, psi0 on solid) + applied
+    axial field E x̂ + electrostatic body force -> plug flow.  Composition of
+    the charged-membrane / flow-charged-pore decks: PB + AE + NS all enabled
+    (charged-membrane.xml Physics Configuration)."""
+    sim0, state = edl_mod.make_channel_edl(
+        n, psi_wall=psi_wall, ezcb=ezcb, dtype=dtype,
+        pad_multiple=pad_multiple, max_neighbors=max_neighbors or 48,
+    )
+    dx = 2.0 / n
+    cfg = sim0.cfg.replace(
+        dt=0.1 * sim0.cfg.h / max(eapp, 1e-6),
+        ns=NavierStokesConfig(
+            enabled=True, theta=0.5,
+            boundary=BoundaryCond.MORRIS_HOLMES,
+            singular_poisson=SingularPoisson.NULL_SPACE,
+        ),
+        ae=AppliedElectricFieldConfig(enabled=False, e=(eapp, 0.0, 0.0)),
+    )
+    state = state.replace(nu=jnp.full(state.n, nu, dtype))
+    return Simulation(cfg=cfg, domain=sim0.domain), state
+
+
+# ---------------------------------------------------------------------------
+# solute transport decks
+# (sph-script/inlet-concentration-2d.lmp, square-concentration-*.lmp)
+# ---------------------------------------------------------------------------
+
+def make_inlet_concentration(
+    ny: int = 24,
+    *,
+    d0: float = 0.001,  # inlet-concentration.xml d:0
+    g: float = 1.0,  # xml g.x = 1.0
+    c_in: float = 1.0,
+    inlet_frac: float = 0.15,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """Body-driven channel carrying a solute injected at an inlet strip:
+    particles in the strip are buffer-Dirichlet for the transport solve
+    (kind type:3 = buffer, inlet-concentration.xml:13) and held at c = c_in
+    by a modifier (the FixISPH_ModifyConcentration pattern)."""
+    sim0, state = channel_mod.make_channel(
+        ny, flow="poiseuille", g=g, dtype=dtype, pad_multiple=pad_multiple
+    )
+    dom = sim0.domain
+    xlo = dom.lo[0]
+    width = (dom.hi[0] - dom.lo[0]) * inlet_frac
+    in_strip = (state.x[0] < xlo + width) & state.is_fluid & state.valid
+    kind = jnp.where(in_strip, Kind.BUFFER_DIRICHLET, state.kind).astype(jnp.int32)
+    conc = jnp.where(in_strip, c_in, 0.0).astype(state.dtype)[None, :]
+    state = state.replace(kind=kind, conc=conc)
+
+    cfg = sim0.cfg.replace(
+        tr=SoluteTransportConfig(enabled=True, theta=0.5, d=(d0, None, None, None)),
+    )
+
+    def hold_inlet(s: ParticleState, t) -> ParticleState:
+        strip = s.is_kind(Kind.BUFFER_DIRICHLET)
+        return s.replace(conc=s.conc.at[0].set(jnp.where(strip, c_in, s.conc[0])))
+
+    return Simulation(cfg=cfg, domain=dom, modifier=hold_inlet), state
+
+
+def make_square_concentration(
+    n: int = 48,
+    *,
+    d0: float = 0.05,
+    rpatch: float = 0.2,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """Quiescent periodic box [-0.5, 0.5]^2 with a unit-concentration square
+    patch diffusing (square-concentration-fix-2d.lmp); pure diffusion, so the
+    short-time analytic solution is the erf-product heat kernel — see
+    :func:`square_concentration_exact`."""
+    r = 0.5
+    dx = 2.0 * r / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    pts = _square_lattice([-r, -r], [r, r], dx, 2)
+    n_real = pts.shape[0]
+    state = make_state(
+        pts, kind=np.full(n_real, Kind.FLUID_BIT, np.int32), rho=1.0, nu=0.1,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    in_patch = np.all(np.abs(pts) < rpatch, axis=1)
+    conc = np.zeros(state.n)
+    conc[:n_real] = np.where(in_patch, 1.0, 0.0)
+    state = state.replace(conc=jnp.asarray(conc, dtype)[None, :])
+
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=0.2 * dx * dx / d0, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(enabled=False),
+        tr=SoluteTransportConfig(enabled=True, theta=0.5, d=(d0, None, None, None)),
+        neighbor=_neighbor_cfg(dx, cut, 2),
+    )
+    domain = Domain(lo=(-r, -r), hi=(r, r), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+def square_concentration_exact(x: jax.Array, t, *, d0: float, rpatch: float):
+    """c(x, t) = prod_d (erf((r+x_d)/s) + erf((r-x_d)/s))/2, s = 2 sqrt(D t)
+    (free-space heat kernel of the square patch; valid while the spread is
+    far from the periodic images)."""
+    from jax.scipy.special import erf
+
+    s = 2.0 * jnp.sqrt(d0 * t)
+    out = 1.0
+    for d in range(x.shape[0]):
+        out = out * 0.5 * (erf((rpatch + x[d]) / s) + erf((rpatch - x[d]) / s))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# colloid / spinner / mixer (rigid solid inclusions, moving or rotating)
+# (sph-script/colloid-{center,corner,rotating}-2d.lmp, spinner-2d.lmp,
+#  mixer-channel-2d.lmp)
+# ---------------------------------------------------------------------------
+
+def make_colloid(
+    n: int = 32,
+    *,
+    motion: str = "rotating",  # "rotating" | "center" (fixed, flow driven by g)
+    rcolloid: float = 0.25,
+    umax: float = 5.0,  # deck Umax (colloid-rotating-2d.lmp:15)
+    g: float = 1.0,  # body force for motion="center"
+    nu: float = 1.0,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+) -> Tuple[Simulation, ParticleState]:
+    """Periodic box [-0.5, 0.5]^2 with a solid disk at the center.
+
+    ``rotating``: solid particles get the rigid rotation v = (omega y,
+    -omega x), omega = umax / rcolloid — the deck's atom-style variables
+    velx = Umax/Rmax*y, vely = -Umax/Rmax*x (colloid-rotating-2d.lmp:98-106);
+    held by a modifier so the rotation persists (colloid is not advected).
+    ``center``: fixed colloid, body-driven flow around it."""
+    L = 1.0
+    dx = L / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    pts = _square_lattice([-0.5, -0.5], [0.5, 0.5], dx, 2)
+    n_real = pts.shape[0]
+    rsq = (pts**2).sum(1)
+    in_disk = rsq < rcolloid**2
+    kind = np.where(in_disk, Kind.SOLID, Kind.FLUID_BIT).astype(np.int32)
+
+    omega = umax / rcolloid if motion == "rotating" else 0.0
+    v = np.zeros_like(pts)
+    if motion == "rotating":
+        v[:, 0] = np.where(in_disk, omega * pts[:, 1], 0.0)
+        v[:, 1] = np.where(in_disk, -omega * pts[:, 0], 0.0)
+
+    state = make_state(
+        pts, v=v, kind=kind, rho=1.0, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    dt = 0.1 * h / max(umax, 1e-6) if motion == "rotating" else 0.1 * h / max(g, 1e-6)
+
+    modifier = None
+    if motion == "rotating":
+        def modifier(s: ParticleState, t) -> ParticleState:
+            solid = s.is_solid
+            vx = jnp.where(solid, omega * s.x[1], s.v[0])
+            vy = jnp.where(solid, -omega * s.x[0], s.v[1])
+            return s.replace(v=jnp.stack([vx, vy]))
+
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=dt, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(
+            theta=0.5, boundary=BoundaryCond.MORRIS_HOLMES,
+            singular_poisson=SingularPoisson.NULL_SPACE,
+            g=(g, 0.0, 0.0) if motion == "center" else (0.0, 0.0, 0.0),
+        ),
+        neighbor=_neighbor_cfg(dx, cut, 2, max_neighbors),
+    )
+    domain = Domain(lo=(-0.5, -0.5), hi=(0.5, 0.5), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain, modifier=modifier), state
+
+
+def make_spinner(
+    n: int = 32,
+    *,
+    umax: float = 0.2,  # deck Umax (spinner-2d.lmp:15)
+    arm: float = 0.3,
+    width: float = 0.08,
+    shift: float = 0.07,  # fix isph/shift 0.07 (deck :85)
+    nu: float = 0.1,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """Cross-shaped paddle spinning at the center of a periodic box: the
+    paddle's solid particles are driven with the rigid-body rotation of a
+    rotating frame angle theta(t) = omega t (spinner-2d.lmp geometry comes
+    from a datafile; here the paddle is two orthogonal bars of half-length
+    ``arm``).  The paddle shape is prescribed (re-typed each step) rather
+    than advected — the FixISPH_ModifyType pattern."""
+    L = 1.0
+    dx = L / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    pts = _square_lattice([-0.5, -0.5], [0.5, 0.5], dx, 2)
+    n_real = pts.shape[0]
+    omega = umax / arm
+
+    state = make_state(
+        pts, kind=np.full(n_real, Kind.FLUID_BIT, np.int32), rho=1.0, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+
+    def modifier(s: ParticleState, t) -> ParticleState:
+        th = omega * t
+        c, sn = jnp.cos(th), jnp.sin(th)
+        # body-frame coordinates of every particle
+        xb = c * s.x[0] + sn * s.x[1]
+        yb = -sn * s.x[0] + c * s.x[1]
+        in_bar1 = (jnp.abs(xb) < arm) & (jnp.abs(yb) < width)
+        in_bar2 = (jnp.abs(yb) < arm) & (jnp.abs(xb) < width)
+        in_paddle = (in_bar1 | in_bar2) & s.valid
+        kind = jnp.where(in_paddle, Kind.SOLID, Kind.FLUID_BIT).astype(jnp.int32)
+        kind = jnp.where(s.valid, kind, 0)
+        vx = jnp.where(in_paddle, -omega * s.x[1], s.v[0])
+        vy = jnp.where(in_paddle, omega * s.x[0], s.v[1])
+        return s.replace(kind=kind, v=jnp.stack([vx, vy]))
+
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=0.15 * dx / umax, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(
+            theta=0.5, boundary=BoundaryCond.MORRIS_HOLMES,
+            singular_poisson=SingularPoisson.NULL_SPACE,
+        ),
+        shift=ShiftConfig(enabled=shift > 0.0, shift=shift),
+        neighbor=_neighbor_cfg(dx, cut, 2),
+    )
+    domain = Domain(lo=(-0.5, -0.5), hi=(0.5, 0.5), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain, modifier=modifier), state
+
+
+# ---------------------------------------------------------------------------
+# micelle (polymer bonds folded into the implicit solve)
+# (sph-script/isph.micelle.lmp + isph.micelle.xml + data.micelle)
+# ---------------------------------------------------------------------------
+
+def make_micelle(
+    n: int = 24,
+    *,
+    nchains: int = 8,
+    chain_len: int = 6,
+    kbond: float = 50.0,  # bond_coeff 1 50.0 R0 (isph.micelle.lmp:28)
+    r0_factor: float = 1.0,  # R0 in units of dx
+    shift: float = 0.1,  # fix isph/shift 0.1 (deck :31)
+    nu: float = 0.1,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    seed: int = 0,
+) -> Tuple[Simulation, ParticleState]:
+    """Periodic fluid box with ``nchains`` harmonic-bonded polymer chains of
+    ``chain_len`` consecutive lattice particles; bond forces enter the
+    Helmholtz RHS through the Simulation.extra_force hook (the BondISPH
+    gating, pair_isph.cpp:1320-1331)."""
+    L = 1.0
+    dx = L / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    pts = _square_lattice([-0.5, -0.5], [0.5, 0.5], dx, 2)
+    n_real = pts.shape[0]
+    state = make_state(
+        pts, kind=np.full(n_real, Kind.FLUID_BIT, np.int32), rho=1.0, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+
+    # chains = consecutive particles along lattice rows, randomly placed
+    rng = np.random.default_rng(seed)
+    pairs = []
+    rows = n  # lattice is row-major (x fastest axis last): index = ix*n + iy
+    for _ in range(nchains):
+        ix = rng.integers(0, n - chain_len)
+        iy = rng.integers(0, rows)
+        base = [int((ix + k) * rows + iy) for k in range(chain_len)]
+        pairs += [(base[k], base[k + 1]) for k in range(chain_len - 1)]
+    pairs = np.asarray(pairs, np.int32)
+    bonds = BondList(pairs=jnp.asarray(pairs), mask=jnp.ones(len(pairs), bool))
+
+    r0 = r0_factor * dx
+
+    def extra_force(s: ParticleState, domain: Domain) -> jax.Array:
+        return harmonic_bond_force(s, bonds, domain, k=kbond, r0=r0)
+
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=0.1 * dx, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(theta=0.5, singular_poisson=SingularPoisson.NULL_SPACE),
+        shift=ShiftConfig(enabled=shift > 0.0, shift=shift),
+        neighbor=_neighbor_cfg(dx, cut, 2),
+    )
+    domain = Domain(lo=(-0.5, -0.5), hi=(0.5, 0.5), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain, extra_force=extra_force), state
+
+
+# ---------------------------------------------------------------------------
+# pore-scale flow through packed beads
+# (sph-script/pore-scale-flow-3d.lmp + pore-scale-flow.xml + bead centroids)
+# ---------------------------------------------------------------------------
+
+def make_pore_scale_flow(
+    n: int = 32,
+    *,
+    dim: int = 2,
+    nbeads: int = 5,
+    bead_radius: float = 0.12,
+    g: float = 1.0,
+    nu: float = 0.5,
+    seed: int = 3,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+) -> Tuple[Simulation, ParticleState]:
+    """Body-driven flow through a periodic random bead pack: particles inside
+    any bead are re-typed solid (ComputeISPH_{Cylinder,Sphere}Porous bead
+    carving; the 3-D deck reads centroids from
+    pore-scale-flow-bead-centeroids-3d.dat — here they are sampled)."""
+    from isph_tpu.models.geometry import carve_porous_beads
+
+    L = 1.0
+    dx = L / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    pts = _square_lattice([-0.5] * dim, [0.5] * dim, dx, dim)
+    n_real = pts.shape[0]
+
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-0.5 + bead_radius, 0.5 - bead_radius, (nbeads, dim))
+    kind, part = carve_porous_beads(pts, centers, bead_radius)
+
+    state = make_state(
+        pts, kind=kind, rho=1.0, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    cfg = SimulationConfig(
+        dim=dim, h=h, dt=0.1 * h / max(g, 1e-6), dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(
+            theta=0.5, boundary=BoundaryCond.MORRIS_HOLMES,
+            singular_poisson=SingularPoisson.NULL_SPACE,
+            g=(g,) + (0.0,) * 2,
+        ),
+        neighbor=_neighbor_cfg(dx, cut, dim, max_neighbors),
+    )
+    domain = Domain(lo=(-0.5,) * dim, hi=(0.5,) * dim, periodic=(True,) * dim)
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+# ---------------------------------------------------------------------------
+# shift test (sph-script/shift-test-2d.lmp)
+# ---------------------------------------------------------------------------
+
+def make_shift_test(
+    n: int = 32,
+    *,
+    shift: float = 0.05,
+    perturb: float = 0.3,  # initial lattice perturbation in units of dx
+    umax: float = 0.5,  # background velocity scale — the shift magnitude is
+    # proportional to the global max fluid speed (pair_isph_corrected.cpp:
+    # 1232-1233), so a quiescent box would not shift at all
+    seed: int = 0,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """Periodic box with a randomly perturbed lattice and a gentle vortical
+    background flow; Fickian particle shifting should regularize the
+    distribution (shift-test-2d.lmp).  Diagnostic: min inter-particle
+    distance grows toward dx."""
+    L = 1.0
+    dx = L / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    pts = _square_lattice([-0.5, -0.5], [0.5, 0.5], dx, 2)
+    rng = np.random.default_rng(seed)
+    pts = pts + rng.uniform(-perturb * dx, perturb * dx, pts.shape)
+    n_real = pts.shape[0]
+    k = 2.0 * math.pi / L
+    v = umax * np.stack(
+        [np.sin(k * pts[:, 0]) * np.cos(k * pts[:, 1]),
+         -np.cos(k * pts[:, 0]) * np.sin(k * pts[:, 1])], axis=-1
+    )
+    state = make_state(
+        pts, v=v, kind=np.full(n_real, Kind.FLUID_BIT, np.int32), rho=1.0,
+        nu=0.1, pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=0.1 * dx, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(theta=0.5, singular_poisson=SingularPoisson.NULL_SPACE),
+        shift=ShiftConfig(enabled=True, shift=shift),
+        neighbor=_neighbor_cfg(dx, cut, 2),
+    )
+    domain = Domain(lo=(-0.5, -0.5), hi=(0.5, 0.5), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+# ---------------------------------------------------------------------------
+# registry (reference deck name -> builder)
+# ---------------------------------------------------------------------------
+
+DECKS: Dict[str, Callable] = {
+    # verification flows
+    "taylor-green-vortex-2d": tgv_mod.make_tgv,
+    "poiseuille-flow-2d": lambda **kw: channel_mod.make_channel(flow="poiseuille", **kw),
+    "couette-flow-2d": lambda **kw: channel_mod.make_channel(flow="couette", **kw),
+    "channel-moving-wall-2d": lambda **kw: channel_mod.make_channel(flow="couette", **kw),
+    "lid-driven-cavity-2d": make_lid_driven_cavity,
+    "lid-driven-cavity-3d": lambda **kw: make_lid_driven_cavity(dim=3, **kw),
+    "shift-test-2d": make_shift_test,
+    # rigid inclusions
+    "colloid-rotating-2d": lambda **kw: make_colloid(motion="rotating", **kw),
+    "colloid-center-2d": lambda **kw: make_colloid(motion="center", **kw),
+    "spinner-2d": make_spinner,
+    "mixer-channel-2d": make_spinner,
+    "pore-scale-flow-2d": make_pore_scale_flow,
+    "pore-scale-flow-3d": lambda **kw: make_pore_scale_flow(dim=3, **kw),
+    # multiphase
+    "square-droplet-2d": make_square_droplet,
+    "square-droplet-3d": lambda **kw: make_square_droplet(dim=3, **kw),
+    "droplet-in-cylinder-2d": make_square_droplet,  # same physics, round target
+    # electrokinetics
+    "poisson-boltzmann-harmonic-2d": make_pb_harmonic,
+    "channel-edl-potential-2d": edl_mod.make_channel_edl,
+    "applied-efield-linear-2d": lambda **kw: make_applied_efield(mode="linear", **kw),
+    "applied-efield-insulator-2d": lambda **kw: make_applied_efield(
+        mode="insulator", sratio=0.0, **kw),
+    "henry-efield-2d": lambda **kw: make_applied_efield(mode="henry", **kw),
+    "charged-membrane-2d": make_charged_channel,
+    "flow-charged-pore-2d": make_charged_channel,
+    # transport
+    "inlet-concentration-2d": make_inlet_concentration,
+    "square-concentration-fix-2d": make_square_concentration,
+    # polymers
+    "isph-micelle": make_micelle,
+}
+
+
+def build_deck(name: str, **kw):
+    """Instantiate a named reference deck; returns whatever the builder
+    returns (always starting with (Simulation, ParticleState))."""
+    try:
+        builder = DECKS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown deck {name!r}; available: {sorted(DECKS)}"
+        ) from None
+    return builder(**kw)

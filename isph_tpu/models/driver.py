@@ -45,11 +45,22 @@ class StepAux(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class Simulation:
-    """Immutable problem setup: domain + config (+ static neighbor policy)."""
+    """Immutable problem setup: domain + config (+ static neighbor policy).
+
+    ``modifier``/``extra_force`` are the TPU equivalents of the reference's
+    fix plugins: ``modifier(state, time) -> state`` runs at the top of every
+    step (FixISPH_Modify{Type,Velocity,Concentration,Phi}, fix_isph_modify_*
+    .cpp — time-dependent BC/state overrides such as moving walls or inlets);
+    ``extra_force(state, domain) -> f`` accumulates extra body forces into
+    the Helmholtz RHS right after the force clear (the BondISPH gating,
+    pair_isph.cpp:1320-1331).
+    """
 
     cfg: SimulationConfig
     domain: Domain
     use_bruteforce_neighbors: bool = False
+    modifier: Optional[object] = None
+    extra_force: Optional[object] = None
 
     # -- neighbor plumbing -------------------------------------------------
     def neighbors(self, state: ParticleState) -> NeighborList:
@@ -83,12 +94,20 @@ class Simulation:
         -> advance -> shifting."""
         cfg = self.cfg
 
+        if self.modifier is not None:
+            t_now = (state.step.astype(state.dtype) if state.step is not None
+                     else jnp.asarray(0.0, state.dtype)) * cfg.dt
+            state = self.modifier(state, t_now)
+
         nbrs = self.neighbors(state)
         geom = self.geometry(state, nbrs)
         pre = self.precompute(state, geom)
 
         # clear the per-step force accumulator (LAMMPS force_clear)
         state = state.replace(f=jnp.zeros_like(state.v))
+
+        if self.extra_force is not None:
+            state = state.replace(f=self.extra_force(state, self.domain))
 
         if cfg.ae.enabled:
             phi, phigrad = electrokinetics.solve_applied_electric_potential(
@@ -126,8 +145,17 @@ class Simulation:
             if cfg.st.model == "csf":
                 f, _, _ = multiphase.csf_force(state, geom, pre, cfg)
             else:
-                s_table = jnp.full((4, 4), cfg.st.alpha, state.dtype)
-                f = multiphase.pairwise_force(state, geom, cfg, s_table)
+                if cfg.st.s is not None:
+                    s_table = jnp.zeros((4, 4), state.dtype)
+                    st_np = jnp.asarray(
+                        [list(r) for r in cfg.st.s], state.dtype
+                    )
+                    s_table = s_table.at[: st_np.shape[0], : st_np.shape[1]].set(st_np)
+                else:
+                    s_table = jnp.full((4, 4), cfg.st.alpha, state.dtype)
+                f = multiphase.pairwise_force(
+                    state, geom, cfg, s_table, model=cfg.st.pairwise_model
+                )
             state = state.replace(f=f)
 
         state, info = ns_projection.navier_stokes_step(
@@ -174,3 +202,55 @@ class Simulation:
         for _ in range(nsteps):
             state, aux = step(state)
         return state, aux
+
+    def run_until(
+        self, state: ParticleState, nsteps: int, quit_fn
+    ) -> Tuple[ParticleState, Optional[StepAux], int]:
+        """Run at most nsteps, stopping early when ``quit_fn(state, aux) ->
+        bool`` (host predicate on the per-step diagnostics) fires — the
+        FixISPH_Quit condition stop (fix_isph_quit.cpp)."""
+        step = jax.jit(self.step_fn())
+        aux = None
+        done = 0
+        for done in range(1, nsteps + 1):
+            state, aux = step(state)
+            if bool(quit_fn(state, aux)):
+                break
+        return state, aux, done
+
+    def run_adaptive(
+        self,
+        state: ParticleState,
+        nsteps: int,
+        *,
+        cfl: float,
+        dx: float,
+        umin: float = 1e-8,
+        quantize: float = 1.25,
+    ) -> Tuple[ParticleState, Optional[StepAux], float]:
+        """CFL-based variable timestep (FixISPH var-dt, fix_isph.cpp:144-152:
+        dt = cfl dx / max(vmax, umin)), TPU-adapted: the continuous dt would
+        force a recompile every step, so dt is quantized to the nearest power
+        of ``quantize`` — at most O(log) distinct compilations, each cached.
+        Returns (state, last aux, last dt)."""
+        import math as _math
+
+        from isph_tpu.physics.status import cfl_dt  # noqa: F401 (parity anchor)
+
+        dt = self.cfg.dt
+        sims = {}
+        aux = None
+        for _ in range(nsteps):
+            key = round(_math.log(max(dt, 1e-300), quantize))
+            if key not in sims:
+                qdt = quantize**key
+                sims[key] = (
+                    jax.jit(dataclasses.replace(
+                        self, cfg=self.cfg.replace(dt=qdt)).step_fn()),
+                    qdt,
+                )
+            step, qdt = sims[key]
+            state, aux = step(state)
+            vmax = float(aux.status.vmax)
+            dt = cfl * dx / max(vmax, umin)
+        return state, aux, qdt
