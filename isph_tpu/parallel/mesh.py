@@ -1,23 +1,17 @@
-"""Multi-device distribution over a jax.sharding.Mesh.
+"""Device-mesh helpers for the distributed (slab-decomposed) runtime.
 
-TPU-native replacement for the reference's MPI spatial domain decomposition +
-halo exchange (SURVEY §2.6): particles are sharded along a 1-D "dp" mesh axis
-in spatially sorted slabs; SPH pair interactions across slab boundaries are
-covered by exchanging halo slices with ``lax.ppermute`` between neighbor
-devices, and all solver reductions become ``psum`` inside ``shard_map``.
-
-Round-1 scope: slab partition + replicated-halo step wrapper used by the
-multi-chip dry run; the pipelined ppermute halo/SpMV overlap is the next
-performance stage.
+TPU-native replacement for the reference's MPI spatial domain decomposition
+(SURVEY §2.6): particles are sharded along a 1-D "dp" mesh axis in spatially
+sorted slabs; SPH pair interactions across slab boundaries are covered by
+halo exchange (`isph_tpu.parallel.halo`), and all solver reductions become
+``psum`` inside ``shard_map`` (`isph_tpu.parallel.dist`).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -29,13 +23,13 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def sort_into_slabs(x: np.ndarray, n_shards: int, axis: int = 0):
-    """Host-side spatial sort: order particles by slab coordinate so each
-    device owns a contiguous slab (the analogue of LAMMPS brick decomposition).
-    Returns the permutation."""
-    return np.argsort(x[:, axis], kind="stable")
+def particle_sharding_spec(a: jax.Array, axis: str = "dp") -> P:
+    """PartitionSpec sharding the PARTICLE axis of a particle-minor leaf.
 
-
-def shard_state_spec():
-    """PartitionSpec for the particle axis of every state leaf."""
-    return P("dp")
+    Layout rule (state.py): the particle axis is the LAST axis of every
+    per-particle leaf — (N,), (D, N), (K, N), (D, K, N); scalars () stay
+    replicated.
+    """
+    if a.ndim == 0:
+        return P()
+    return P(*([None] * (a.ndim - 1) + [axis]))
