@@ -42,16 +42,19 @@ def _hbm_bw():
     return HBM_BW["cpu"]
 
 
-def bench_spmv(n_lattice=256, max_neighbors=48, iters=1000):
+def bench_spmv(n_lattice=256, max_neighbors=32, iters=1000):
     from isph_tpu.models import tgv
     from isph_tpu.ops import corrected as ops
     from isph_tpu.ops.corrected import PairFilter, SYMMETRIC
     from isph_tpu.state import Kind
 
     _log(f"spmv: building n_lattice={n_lattice}")
+    # K=32 covers the TGV neighbor max (28) without dead slot-groups; the
+    # per-rank chunk widths (5,5,6,4) are the measured maxima for the
+    # column-sorted lattice lists (plan overflow is asserted below)
     sim, state = tgv.make_tgv(
         n_lattice, dtype=jnp.float32, max_neighbors=max_neighbors, pad_multiple=128,
-        gather_chunks=16,
+        gather_chunks=(5, 5, 6, 4),
     )
     nbrs = jax.jit(sim.neighbors)(state)
     assert int(nbrs.overflow) == 0, "neighbor overflow in bench"
@@ -71,8 +74,6 @@ def bench_spmv(n_lattice=256, max_neighbors=48, iters=1000):
     jax.block_until_ready(A.vals)
     _log("spmv: assembled, compiling matvec scan")
 
-    x = state.p + 1.0
-
     @jax.jit
     def many_matvec(A, x):
         def body(x, _):
@@ -83,20 +84,21 @@ def bench_spmv(n_lattice=256, max_neighbors=48, iters=1000):
         y, _ = jax.lax.scan(body, x, None, length=iters)
         return y
 
-    # TIMING METHODOLOGY (remote-TPU tunnel): the runtime memoizes repeat
-    # executions with identical inputs and adds erratic multi-second queue
-    # latency, so: (a) warm up with DIFFERENT input values than the timed
-    # runs, (b) use fresh input values per call, (c) report the MINIMUM over
-    # several calls — the min filters the tunnel jitter out of the
-    # device-compute estimate.
-    y = many_matvec(A, x)
-    jax.block_until_ready(y)  # warmup/compile with x
+    # TIMING METHODOLOGY (remote-TPU tunnel): the runtime can memoize repeat
+    # executions and block_until_ready has been observed returning before the
+    # device work completes, so every timed run (a) uses a FRESH host-built
+    # input, (b) is synced by a host transfer of a scalar reduction of the
+    # result (float() forces the full computation), and the minimum over runs
+    # filters tunnel queue jitter.
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(state.n), jnp.float32)
+    float(many_matvec(A, x).sum())  # warmup/compile
     dt = float("inf")
-    for rep in range(1, 6):
-        x2 = x * (1.0 + 1e-4 * rep) + 1e-3 * rep
+    for rep in range(1, 4):
+        x2 = jnp.asarray(rng.standard_normal(state.n), jnp.float32)
+        float((x2 * x2).sum())  # materialize input before the clock starts
         t0 = time.perf_counter()
-        y = many_matvec(A, x2)
-        jax.block_until_ready(y)
+        s = float(many_matvec(A, x2).sum())
         dt = min(dt, time.perf_counter() - t0)
     _log(f"spmv: best {dt*1e3:.2f} ms / {iters} matvecs")
 
@@ -105,13 +107,15 @@ def bench_spmv(n_lattice=256, max_neighbors=48, iters=1000):
     return nnz_per_s, nnz, dt
 
 
-def bench_step(n_lattice=128, max_neighbors=48, steps=5):
+def bench_step(n_lattice=128, max_neighbors=32, steps=5):
     import dataclasses
     from isph_tpu.models import tgv
 
+    # uniform chunk width 8 leaves margin for particle drift during the run
+    # (re-neighboring happens inside every step)
     sim, state = tgv.make_tgv(
         n_lattice, dtype=jnp.float32, max_neighbors=max_neighbors, pad_multiple=128,
-        gather_chunks=16,
+        gather_chunks=8,
     )
     # keep the TPU step-program lean: Jacobi instead of the scatter-heavy AMG
     # build until AMG-on-TPU is profiled
@@ -127,14 +131,15 @@ def bench_step(n_lattice=128, max_neighbors=48, steps=5):
 
     _log(f"step: compiling full step n_lattice={n_lattice}")
     out, vmax = nsteps(state)
-    jax.block_until_ready(out.x)  # warmup/compile
+    float(out.x.sum())  # warmup/compile; host transfer forces completion
     _log("step: compiled, timing")
     dt = float("inf")
     for rep in range(1, 4):
         state2 = state.replace(v=state.v * (1.0 + 1e-4 * rep))
+        float(state2.v.sum())  # materialize input before the clock starts
         t0 = time.perf_counter()
         out, vmax = nsteps(state2)
-        jax.block_until_ready(out.x)
+        float(out.x.sum())
         dt = min(dt, time.perf_counter() - t0)
     _log(f"step: best {dt:.2f} s / {steps} steps")
     particle_steps_per_s = state.n * steps / dt

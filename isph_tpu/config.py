@@ -166,8 +166,9 @@ class NeighborConfig:
 
     max_neighbors: int = 64  # K: padded neighbor width
     cell_capacity: int = 32  # max particles per cell bin
-    gather_chunks: int = 0  # >0: build a pallas windowed-gather plan with this
-    # many 128-wide chunks per row tile (ops/spmv_pallas.py); 0 disables.
+    gather_chunks: object = 0  # truthy: build a pallas windowed-gather plan
+    # (ops/spmv_pallas.py) — either one int (uniform chunk-list width) or a
+    # tuple of per-8-slot-group widths (len max_neighbors//8); 0 disables.
     # Requires N % 128 == 0 (pad_multiple=128) and spatially sorted particles.
 
 

@@ -73,7 +73,7 @@ class Simulation:
         return build_neighbor_list(
             state.x, state.valid, self.domain, self.cfg.cut,
             self.cfg.neighbor.max_neighbors, self.cfg.neighbor.cell_capacity,
-            gather_chunks=gc if gc > 0 else None,
+            gather_chunks=gc if gc else None,
         )
 
     def geometry(self, state: ParticleState, nbrs: NeighborList) -> PairGeom:

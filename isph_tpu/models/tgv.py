@@ -56,7 +56,7 @@ def make_tgv(
     max_neighbors: int = 48,
     dtype=jnp.float64,
     pad_multiple: int = 8,
-    gather_chunks: int = 0,
+    gather_chunks=0,
 ) -> Tuple[Simulation, ParticleState]:
     dim = 2
     L = 2.0 * math.pi

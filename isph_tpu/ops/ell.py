@@ -60,6 +60,8 @@ class ELL:
         ):
             from isph_tpu.ops.spmv_pallas import spmv
 
+            # (d, N) multivectors go through in ONE kernel call: the vals/idx
+            # tiles are read from HBM once and reused across components
             return spmv(self.plan, self.diag, self.vals * self.mask, self.idx, x)
         vm = self.vals * self.mask
         if x.ndim == 1:

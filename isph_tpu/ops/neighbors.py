@@ -193,8 +193,12 @@ def build_neighbor_list(
         & valid[cand_clipped]
     )
 
-    # --- compact to K slots (stable: valid candidates first) ---------------
-    perm = jnp.argsort(~good, axis=0, stable=True)[:K]
+    # --- compact to K slots, SORTED BY COLUMN INDEX ------------------------
+    # (valid candidates first, ascending j: the k-th slots of adjacent rows
+    # then point at nearly the same 128-chunk of the particle axis — the
+    # locality the pallas windowed-gather plan exploits, ops/spmv_pallas.py)
+    sort_key = jnp.where(good, cand_clipped, jnp.asarray(n, jnp.int32))
+    perm = jnp.argsort(sort_key, axis=0)[:K]
     idx = jnp.take_along_axis(cand_clipped, perm, axis=0)
     mask = jnp.take_along_axis(good, perm, axis=0)
     idx = jnp.where(mask, idx, i_idx)

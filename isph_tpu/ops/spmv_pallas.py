@@ -6,23 +6,35 @@ XLA formulation ``x[idx]`` lowers to a serialized scalar gather on TPU —
 measured ~0.15% of HBM roofline.  Mosaic's only vectorized gather is
 ``take_along_axis`` along lanes with SOURCE AND INDEX THE SAME SHAPE, i.e. a
 within-128-lane register permute.  These kernels build the general gather out
-of that primitive:
+of that primitive.
 
-- Particles are spatially sorted (ops.neighbors.spatial_sort_order — the
-  LAMMPS atom->sort analogue), so the columns referenced by a 128-row tile
-  cluster into a handful of 128-aligned "chunks" of the particle axis.
-- A :class:`GatherPlan` precomputes, per row tile, the list of chunk starts
-  (static width ``max_chunks``; periodic-wrap tiles simply list chunks from
-  both ends of the array).
-- The kernel keeps x resident in VMEM, and per tile loops over the chunk
-  list: dynamic-slice the 128-wide chunk, broadcast across sublanes, one
-  ``take_along_axis`` per chunk, select by membership.  Cost per nonzero is
-  O(max_chunks) VPU ops and 8 B of HBM traffic (vals+idx; x is reused from
-  VMEM) — versus 12 B minimum for a gather-from-HBM formulation.
+v2 design (slot-sorted group windows — replaces the v1 whole-tile chunk scan
+that burned ``max_chunks`` VPU select passes on every nonzero):
 
-Limits: N must be <= ~2M particles per chip for x to sit in VMEM (beyond
-that, a double-buffered HBM variant is needed); f32/i32 on TPU.  The pure-XLA
-fallback (`*_xla`) keeps CPU/f64 verification paths intact.
+- Particles are spatially sorted (ops.neighbors builds lists off cell-sorted
+  candidates) and every row's neighbor slots are SORTED BY COLUMN INDEX
+  (ops.neighbors compaction), so the k-th slots of the 128 rows of a tile
+  point to nearly the same region of x.
+- A :class:`GatherPlan` precomputes, per (8-slot group g, 128-row tile t),
+  the list of 128-aligned chunks of the particle axis covering
+  ``idx[8g:8g+8, 128t:128(t+1)]`` (static width ``max_chunks``, live count
+  per group) — measured mean ~3 chunks/group on the TGV lattice vs the ~11
+  chunks a whole (K,128) tile touches.
+- The kernel keeps x resident in VMEM; per (group, tile) a ``fori_loop``
+  over the LIVE chunk count (dead plan slots cost nothing) dynamic-slices
+  the 128-wide chunk, broadcasts across the 8 sublanes, does one
+  ``take_along_axis``, and select-merges by membership.  Multivector inputs
+  (C, N) reuse the vals/idx tiles across components (the Helmholtz system is
+  solved as an [N x dim] multivector, pair_isph.cpp:936).
+
+Cost per nonzero ~ (mean chunks/group) * ~5 VPU ops + 8 B HBM (vals+idx; x
+is reused from VMEM) — versus 12 B minimum for a gather-from-HBM
+formulation, and versus ``max_chunks`` passes in v1.
+
+Limits: N <= ~2M particles per chip for x to sit in VMEM (beyond that, a
+double-buffered HBM variant is needed); f32/i32 on TPU.  The pure-XLA
+fallback in ELL.matvec / PairGeom.gather keeps CPU/f64 verification paths
+intact.
 """
 
 from __future__ import annotations
@@ -37,124 +49,232 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 128
+CHUNK = 128  # row-tile height and column-chunk width (lane count)
+GROUP = 8  # slots per group (sublane count)
 _PAD_START = -CHUNK  # sentinel chunk start: never matches any index
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GatherPlan:
-    """Per-row-tile chunk lists for windowed gathers.
+    """Per-(slot-group, row-tile) chunk lists for windowed gathers.
 
-    ``chunks[t, c]`` is the 128-aligned start of the c-th chunk of columns
-    referenced by rows [128 t, 128 (t+1)); unused slots hold -128.
-    ``overflow`` counts tiles whose columns needed more than ``max_chunks``
-    chunks (a plan overflow means the pallas path would drop entries — the
-    caller must rebuild with a larger ``max_chunks``; detect like neighbor
-    overflow).
+    ``chunks[t, g, c]`` is the 128-aligned start of the c-th chunk of columns
+    referenced by slots [8g, 8g+8) of rows [128t, 128(t+1)); dead slots hold
+    -128.  ``counts[t, g]`` is the live chunk count.  ``mc`` (STATIC) is the
+    per-group-rank unroll width: the kernel sweeps only mc[g] plan slots for
+    rank g — sorted slots give low ranks/high ranks systematically different
+    chunk spreads, so per-rank widths cut dead passes vs one uniform width.
+    ``overflow`` > 0 means some group needed more than its rank's width; the
+    pallas path would drop entries — the caller must rebuild with larger
+    widths (detect like neighbor overflow).
     """
 
-    chunks: jax.Array  # (ntiles, max_chunks) int32
+    chunks: jax.Array  # (ntiles, ngroups, max(mc)) int32
+    counts: jax.Array  # (ntiles, ngroups) int32
     overflow: jax.Array  # () int32
+    mc: tuple = ()  # static per-rank unroll widths (len = ngroups)
 
     @property
     def max_chunks(self) -> int:
-        return self.chunks.shape[1]
+        return self.chunks.shape[2]
 
 
-def make_gather_plan(idx: jax.Array, max_chunks: int) -> GatherPlan:
-    """Build the chunk lists from a padded neighbor index array (K, N).
+jax.tree_util.register_dataclass(
+    GatherPlan, data_fields=["chunks", "counts", "overflow"], meta_fields=["mc"]
+)
 
-    Masked slots must self-reference (they do: build_neighbor_list sets
-    idx = i for masked slots), so every listed chunk is genuinely needed.
+
+def make_gather_plan(idx: jax.Array, max_chunks) -> GatherPlan:
+    """Build group-chunk lists from a padded neighbor index array (K, N).
+
+    ``max_chunks``: one int (uniform) or a tuple of per-group-rank widths
+    (len K//8).  Requires slots sorted by column per row (ops.neighbors
+    compaction does this) for locality, though correctness only needs masked
+    slots to self-reference (they do: build_neighbor_list sets idx = i for
+    masked slots), so every listed chunk is genuinely needed.
     """
     K, n = idx.shape
     assert n % CHUNK == 0, f"particle count {n} not a multiple of {CHUNK}"
+    assert K % GROUP == 0, f"max_neighbors {K} not a multiple of {GROUP}"
     ntiles = n // CHUNK
+    ngroups = K // GROUP
+    if isinstance(max_chunks, int):
+        mc = (max_chunks,) * ngroups
+    else:
+        mc = tuple(int(m) for m in max_chunks)
+        assert len(mc) == ngroups, f"mc tuple len {len(mc)} != ngroups {ngroups}"
+    max_chunks = max(mc)
     cids = (idx // CHUNK).astype(jnp.int32)  # (K, N)
-    # per tile: all chunk ids referenced by its rows, deduped via sort
-    per_tile = (
-        cids.reshape(K, ntiles, CHUNK).transpose(1, 0, 2).reshape(ntiles, K * CHUNK)
+    # (ntiles * ngroups, GROUP * CHUNK): all chunk ids touched by one group
+    per_group = (
+        cids.reshape(ngroups, GROUP, ntiles, CHUNK)
+        .transpose(2, 0, 1, 3)
+        .reshape(ntiles * ngroups, GROUP * CHUNK)
     )
-    srt = jnp.sort(per_tile, axis=1)
+    srt = jnp.sort(per_group, axis=1)
     first = jnp.concatenate(
-        [jnp.ones((ntiles, 1), bool), srt[:, 1:] != srt[:, :-1]], axis=1
+        [jnp.ones((srt.shape[0], 1), bool), srt[:, 1:] != srt[:, :-1]], axis=1
     )
-    nuniq = first.sum(axis=1)
+    nuniq = first.sum(axis=1).astype(jnp.int32)
     # stable-compact unique chunk ids to the front, pad rest with sentinel
     order = jnp.argsort(~first, axis=1, stable=True)[:, :max_chunks]
     uniq = jnp.take_along_axis(srt, order, axis=1)
     uniq_valid = jnp.take_along_axis(first, order, axis=1)
     starts = jnp.where(uniq_valid, uniq * CHUNK, _PAD_START).astype(jnp.int32)
-    overflow = jnp.maximum(nuniq.max() - max_chunks, 0).astype(jnp.int32)
-    return GatherPlan(chunks=starts, overflow=overflow)
+    nuniq2 = nuniq.reshape(ntiles, ngroups)
+    mc_arr = jnp.asarray(mc, jnp.int32)[None, :]
+    overflow = jnp.maximum(nuniq2 - mc_arr, 0).max().astype(jnp.int32)
+    return GatherPlan(
+        chunks=starts.reshape(ntiles, ngroups, max_chunks),
+        counts=jnp.minimum(nuniq2, mc_arr),
+        overflow=overflow,
+        mc=mc,
+    )
 
 
-def _gather_chunks(x_ref, idx_tile, chunk_starts):
-    """Shared inner loop: gather x[idx_tile] given the tile's chunk starts.
+def _group_gather(x8_ref, idx_g, gidx, chunks_ref, ncomp, mc_g, max_chunks):
+    """Gather x[c][idx_g] for all components c via the (C*8, N) broadcast
+    scratch (each component's vector replicated across 8 sublanes, so every
+    pass is a direct (8, 128) load + lane permute — no per-pass broadcast).
 
-    x_ref: (1, N) VMEM ref; idx_tile: (K, 128) int32; chunk_starts: python
-    list of traced scalars.  Returns (K, 128) gathered values (zeros where no
-    chunk matched — only possible on plan overflow).
+    idx_g: (GROUP, CHUNK) int32.  ``gidx`` is the flat (tile, group) index
+    into the 1-D plan array (SMEM prefetch operands pad their minor dimension
+    to 128 lanes, so the plan is passed flattened).  Returns a tuple of ncomp
+    (GROUP, CHUNK) arrays (zeros where no chunk matched — only possible on
+    plan overflow).
     """
-    acc = jnp.zeros(idx_tile.shape, x_ref.dtype)
-    for start in chunk_starts:
-        safe = jnp.maximum(start, 0)
-        xc = x_ref[0, pl.ds(pl.multiple_of(safe, CHUNK), CHUNK)]  # (128,)
-        xb = jnp.broadcast_to(xc.reshape(1, CHUNK), idx_tile.shape)
-        local = idx_tile - start
-        sel = (local >= 0) & (local < CHUNK)
-        g = jnp.take_along_axis(xb, jnp.clip(local, 0, CHUNK - 1), axis=1)
-        acc = jnp.where(sel, g, acc)
-    return acc
+    # STATIC unroll over max_chunks: dead plan slots (sentinel start=-128)
+    # produce an all-false select and cost one wasted pass, but the absence of
+    # data-dependent control flow lets Mosaic software-pipeline the whole
+    # chunk sweep (a dynamic fori_loop over the live count measured ~7x
+    # slower: every iteration serialized on the scalar unit).
+    accs = [jnp.zeros(idx_g.shape, x8_ref.dtype) for _ in range(ncomp)]
+    lidx = idx_g & (CHUNK - 1)  # chunk-local lane: shared by every pass
+    cid = idx_g >> 7  # chunk id per element: shared by every pass
+    for c in range(mc_g):
+        start = chunks_ref[gidx * max_chunks + c]
+        # membership as ONE vector compare against the scalar chunk id
+        sel = cid == (start >> 7)
+        safe = pl.multiple_of(jnp.maximum(start, 0), CHUNK)
+        for comp in range(ncomp):
+            xb = x8_ref[comp * GROUP:(comp + 1) * GROUP, pl.ds(safe, CHUNK)]
+            gv = jnp.take_along_axis(xb, lidx, axis=1)
+            accs[comp] = jnp.where(sel, gv, accs[comp])
+    return tuple(accs)
 
 
-def _spmv_kernel(chunks_ref, diag_ref, vals_ref, idx_ref, x_ref, y_ref, *, max_chunks):
-    t = pl.program_id(0)
-    idx_tile = idx_ref[:]
-    starts = [chunks_ref[t, c] for c in range(max_chunks)]
-    g = _gather_chunks(x_ref, idx_tile, starts)
-    row = x_ref[0, pl.ds(pl.multiple_of(t * CHUNK, CHUNK), CHUNK)]
-    y = diag_ref[0, :] * row + (vals_ref[:] * g).sum(axis=0)
-    y_ref[0, :] = y
+def _fill_x8(step, x_ref, x8_ref, ncomp):
+    """On the first grid step, replicate each component of x across the 8
+    sublanes of the persistent scratch (scratch survives grid steps)."""
+    n = x_ref.shape[1]
+
+    @pl.when(step == 0)
+    def _():
+        for comp in range(ncomp):
+            x8_ref[comp * GROUP:(comp + 1) * GROUP, :] = jnp.broadcast_to(
+                x_ref[comp, :].reshape(1, n), (GROUP, n)
+            )
 
 
-def _take_kernel(chunks_ref, idx_ref, x_ref, out_ref, *, max_chunks):
-    t = pl.program_id(0)
-    idx_tile = idx_ref[:]
-    starts = [chunks_ref[t, c] for c in range(max_chunks)]
-    out_ref[:] = _gather_chunks(x_ref, idx_tile, starts)
+def _spmv_kernel(
+    chunks_ref, diag_ref, vals_ref, idx_ref, x_ref, y_ref, x8_ref,
+    *, ngroups, ncomp, mc, subtiles,
+):
+    # each grid step covers `subtiles` 128-row tiles: the (K, subtiles*128)
+    # vals/idx DMA amortizes the fixed per-step cost (measured ~190 cycles —
+    # dominant at (K, 128) blocks) while the gather plan stays per-128-tile
+    step = pl.program_id(0)
+    _fill_x8(step, x_ref, x8_ref, ncomp)
+    for w in range(subtiles):
+        t = step * subtiles + w
+        lanes = slice(w * CHUNK, (w + 1) * CHUNK)
+        # accumulate (GROUP, CHUNK) partial products across groups; ONE
+        # sublane reduce per tile at the end (cheaper than one per group)
+        tot8 = [None] * ncomp
+        for g in range(ngroups):
+            sl = slice(g * GROUP, (g + 1) * GROUP)
+            idx_g = idx_ref[sl, lanes]
+            vals_g = vals_ref[sl, lanes]
+            gv = _group_gather(
+                x8_ref, idx_g, t * ngroups + g, chunks_ref, ncomp, mc[g], max(mc)
+            )
+            for comp in range(ncomp):
+                p = vals_g * gv[comp]
+                tot8[comp] = p if tot8[comp] is None else tot8[comp] + p
+        own = pl.multiple_of(t * CHUNK, CHUNK)
+        d = diag_ref[0, lanes]
+        for comp in range(ncomp):
+            y_ref[comp, lanes] = (
+                d * x_ref[comp, pl.ds(own, CHUNK)] + tot8[comp].sum(axis=0)
+            )
+
+
+def _take_kernel(
+    chunks_ref, idx_ref, x_ref, out_ref, x8_ref,
+    *, ngroups, ncomp, mc, subtiles,
+):
+    step = pl.program_id(0)
+    _fill_x8(step, x_ref, x8_ref, ncomp)
+    for w in range(subtiles):
+        t = step * subtiles + w
+        lanes = slice(w * CHUNK, (w + 1) * CHUNK)
+        for g in range(ngroups):
+            sl = slice(g * GROUP, (g + 1) * GROUP)
+            idx_g = idx_ref[sl, lanes]
+            gv = _group_gather(
+                x8_ref, idx_g, t * ngroups + g, chunks_ref, ncomp, mc[g], max(mc)
+            )
+            for comp in range(ncomp):
+                out_ref[comp, sl, lanes] = gv[comp]
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("max_chunks",))
-def _spmv_call(chunks, diag, vals, idx, x, max_chunks: int):
+def _pick_subtiles(ntiles: int, cap: int = 16) -> int:
+    """Largest power of two <= cap dividing ntiles (grid-step width)."""
+    s = 1
+    while s < cap and ntiles % (2 * s) == 0:
+        s *= 2
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("mc",))
+def _spmv_call(chunks, diag, vals, idx, x, mc: tuple):
     K, n = vals.shape
+    ncomp = x.shape[0]
     ntiles = n // CHUNK
-    return pl.pallas_call(
-        functools.partial(_spmv_kernel, max_chunks=max_chunks),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(ntiles,),
-            in_specs=[
-                pl.BlockSpec((1, CHUNK), lambda t, cref: (0, t), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, CHUNK), lambda t, cref: (0, t), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, CHUNK), lambda t, cref: (0, t), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n), lambda t, cref: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, CHUNK), lambda t, cref: (0, t), memory_space=pltpu.VMEM),
+    ngroups = K // GROUP
+    sub = _pick_subtiles(ntiles)
+    W = sub * CHUNK
+    y = pl.pallas_call(
+        functools.partial(
+            _spmv_kernel, ngroups=ngroups, ncomp=ncomp, mc=mc, subtiles=sub,
         ),
-        out_shape=jax.ShapeDtypeStruct((1, n), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # chunks (flattened 1-D, see GatherPlan)
+            grid=(ntiles // sub,),
+            in_specs=[
+                pl.BlockSpec((1, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ncomp, n), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ncomp, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((ncomp * GROUP, n), x.dtype)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ncomp, n), x.dtype),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * vals.size * (max_chunks + 1),
-            bytes_accessed=(vals.size + idx.size) * 4 + n * 8,
+            flops=2 * vals.size * ncomp,
+            bytes_accessed=(vals.size + idx.size) * 4 + n * ncomp * 8,
             transcendentals=0,
         ),
-    )(chunks, diag.reshape(1, n), vals, idx, x.reshape(1, n))
+    )(chunks.reshape(-1), diag.reshape(1, n), vals, idx, x)
+    return y
 
 
 def spmv(plan: GatherPlan, diag, vals_masked, idx, x):
@@ -162,40 +282,56 @@ def spmv(plan: GatherPlan, diag, vals_masked, idx, x):
 
     ``vals_masked`` must already include the mask (vals * mask); masked slots
     of ``idx`` self-reference, so they stay within the plan's chunks.
-    Supports (N,) vectors and (d, N) multivectors.
+    Supports (N,) vectors and (C, N) multivectors.  Components dispatch as
+    separate kernel calls: a fused (C, N) layout puts components on sublanes
+    of one (8, 128) tile and its single-sublane slices measured ~4x slower
+    than two clean passes.
     """
     if x.ndim == 2:
         return jnp.stack(
-            [spmv(plan, diag, vals_masked, idx, x[d]) for d in range(x.shape[0])]
+            [spmv(plan, diag, vals_masked, idx, x[c]) for c in range(x.shape[0])]
         )
-    y = _spmv_call(plan.chunks, diag, vals_masked, idx.astype(jnp.int32), x,
-                   plan.max_chunks)
+    y = _spmv_call(
+        plan.chunks, diag, vals_masked, idx.astype(jnp.int32),
+        x.reshape(1, -1), plan.mc,
+    )
     return y.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_chunks",))
-def _take_call(chunks, idx, x, max_chunks: int):
+@functools.partial(jax.jit, static_argnames=("mc",))
+def _take_call(chunks, idx, x, mc: tuple):
     K, n = idx.shape
+    ncomp = x.shape[0]
     ntiles = n // CHUNK
+    ngroups = K // GROUP
+    sub = _pick_subtiles(ntiles)
+    W = sub * CHUNK
     return pl.pallas_call(
-        functools.partial(_take_kernel, max_chunks=max_chunks),
+        functools.partial(
+            _take_kernel, ngroups=ngroups, ncomp=ncomp, mc=mc, subtiles=sub,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(ntiles,),
+            grid=(ntiles // sub,),
             in_specs=[
-                pl.BlockSpec((K, CHUNK), lambda t, cref: (0, t), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n), lambda t, cref: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ncomp, n), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((K, CHUNK), lambda t, cref: (0, t), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (ncomp, K, W), lambda t, *_: (0, 0, t), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((ncomp * GROUP, n), x.dtype)],
         ),
-        out_shape=jax.ShapeDtypeStruct((K, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((ncomp, K, n), x.dtype),
         interpret=_interpret(),
-    )(chunks, idx.astype(jnp.int32), x.reshape(1, n))
+    )(chunks.reshape(-1), idx.astype(jnp.int32), x)
 
 
 def take(plan: GatherPlan, idx, x):
     """x[idx] for (K, N) neighbor gathers of an (N,) field (the PairGeom
-    gather) via the windowed kernel.  (d, N) fields gather per component."""
+    gather) via the windowed kernel; (C, N) fields gather per component (see
+    spmv on why a fused multi-component layout loses)."""
     if x.ndim == 2:
-        return jnp.stack([take(plan, idx, x[d]) for d in range(x.shape[0])])
-    return _take_call(plan.chunks, idx, x, plan.max_chunks)
+        return jnp.stack([take(plan, idx, x[c]) for c in range(x.shape[0])])
+    out = _take_call(plan.chunks, idx, x.reshape(1, -1), plan.mc)
+    return out[0]
