@@ -57,6 +57,10 @@ class SolveInfo(NamedTuple):
 def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=None,
            amg: Optional[Tuple] = None) -> KrylovResult:
     sc = cfg.solver
+    # dtype-aware tolerance floor: the Belos default 1e-8 (solver_lin_belos.h:236)
+    # presumes f64; in f32 the attainable relative residual bottoms out near
+    # ~30 eps, below which Krylov iterations only burn matvecs.
+    tol = max(sc.tol, 30.0 * float(jnp.finfo(b.dtype).eps))
     if amg is not None and sc.precond == "amg":
         # AMG hierarchy (replaces ML, precond_ml.h); amg = (x, domain, cutoff)
         x_pos, domain, cutoff = amg
@@ -72,12 +76,12 @@ def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=Non
     if sc.method == "pipelined_cg":
         from isph_tpu.solvers.krylov import pipelined_cg
 
-        return pipelined_cg(A.matvec, b, x0, M=M, tol=sc.tol, maxiter=sc.max_iters,
+        return pipelined_cg(A.matvec, b, x0, M=M, tol=tol, maxiter=sc.max_iters,
                             null_vec=null_vec, axis_name=axis_name)
     if sc.method == "cg":
-        return cg(A.matvec, b, x0, M=M, tol=sc.tol, maxiter=sc.max_iters,
+        return cg(A.matvec, b, x0, M=M, tol=tol, maxiter=sc.max_iters,
                   null_vec=null_vec, axis_name=axis_name)
-    return gmres(A.matvec, b, x0, M=M, tol=sc.tol, restart=sc.restart,
+    return gmres(A.matvec, b, x0, M=M, tol=tol, restart=sc.restart,
                  max_restarts=sc.max_restarts, null_vec=null_vec, axis_name=axis_name)
 
 

@@ -77,29 +77,42 @@ def cg(
     b = proj(b)
     A = lambda v: proj(matvec(v))
 
+    def fused_dots(pairs):
+        s = jnp.stack([jnp.sum(p * q) for p, q in pairs])
+        if axis_name is not None:
+            s = lax.psum(s, axis_name)
+        return s
+
     r = b - A(x)
     z = M(r)
     p = z
-    rz = _dot(r, z, axis_name)
-    bnorm = jnp.maximum(_norm(b, axis_name), jnp.asarray(1e-300, dtype))
+    d0 = fused_dots([(r, z), (r, r), (b, b)])
+    rz, rr, bb = d0[0], d0[1], d0[2]
+    bnorm = jnp.maximum(jnp.sqrt(bb), jnp.asarray(1e-300, dtype))
 
+    # two reductions per iteration: (p, Ap), then the fused [(r,z), (r,r)]
+    # pair that also feeds the convergence test (the naive loop pays a third
+    # reduction recomputing ||r|| inside cond every iteration).
     def cond(carry):
-        x, r, p, rz, it = carry
-        return (_norm(r, axis_name) / bnorm > tol) & (it < maxiter)
+        x, r, p, rz, rr, it = carry
+        return (jnp.sqrt(rr) / bnorm > tol) & (it < maxiter)
 
     def body(carry):
-        x, r, p, rz, it = carry
+        x, r, p, rz, rr, it = carry
         ap = A(p)
         alpha = rz / _dot(p, ap, axis_name)
         x = x + alpha * p
         r = r - alpha * ap
         z = M(r)
-        rz_new = _dot(r, z, axis_name)
+        d = fused_dots([(r, z), (r, r)])
+        rz_new, rr_new = d[0], d[1]
         p = z + (rz_new / rz) * p
-        return (x, r, p, rz_new, it + 1)
+        return (x, r, p, rz_new, rr_new, it + 1)
 
-    x, r, p, rz, it = lax.while_loop(cond, body, (x, r, p, rz, jnp.asarray(0, jnp.int32)))
-    relres = _norm(r, axis_name) / bnorm
+    x, r, p, rz, rr, it = lax.while_loop(
+        cond, body, (x, r, p, rz, rr, jnp.asarray(0, jnp.int32))
+    )
+    relres = jnp.sqrt(rr) / bnorm
     return KrylovResult(x=x, iters=it, relres=relres, converged=relres <= tol)
 
 
@@ -142,8 +155,8 @@ def pipelined_cg(
     r = b - A(x)
     u = M(r)
     w = A(u)
-    d0 = fused_dots([(r, u), (w, u), (b, b)])
-    gamma, delta, bb = d0[0], d0[1], d0[2]
+    d0 = fused_dots([(r, u), (w, u), (b, b), (r, r)])
+    gamma, delta, bb, rr = d0[0], d0[1], d0[2], d0[3]
     bnorm = jnp.maximum(jnp.sqrt(bb), jnp.asarray(1e-300, dtype))
     m = M(w)
     nn = A(m)
@@ -154,19 +167,22 @@ def pipelined_cg(
     p = u
     s = w
 
+    # ||r||^2 rides the SAME fused reduction as (r,u)/(w,u) — the convergence
+    # test reads the carried scalar, so each iteration really is ONE psum
+    # (the advertised single-reduction property; a cond that recomputes
+    # ||r|| adds a second collective per iteration).
     def cond(carry):
-        x, r, u, w, p, s, q, z, gamma, alpha, it = carry
-        rn = _norm(r, axis_name)
-        return (rn / bnorm > tol) & (it < maxiter)
+        x, r, u, w, p, s, q, z, gamma, alpha, rr, it = carry
+        return (jnp.sqrt(rr) / bnorm > tol) & (it < maxiter)
 
     def body(carry):
-        x, r, u, w, p, s, q, z, gamma, alpha, it = carry
+        x, r, u, w, p, s, q, z, gamma, alpha, rr, it = carry
         x = x + alpha * p
         r = r - alpha * s
         u = u - alpha * q
         w = w - alpha * z
-        d = fused_dots([(r, u), (w, u)])
-        gamma_new, delta = d[0], d[1]
+        d = fused_dots([(r, u), (w, u), (r, r)])
+        gamma_new, delta, rr_new = d[0], d[1], d[2]
         m = M(w)
         nn = A(m)
         beta = gamma_new / gamma
@@ -175,11 +191,11 @@ def pipelined_cg(
         s = w + beta * s
         q = m + beta * q
         z = nn + beta * z
-        return (x, r, u, w, p, s, q, z, gamma_new, alpha_new, it + 1)
+        return (x, r, u, w, p, s, q, z, gamma_new, alpha_new, rr_new, it + 1)
 
-    carry = (x, r, u, w, p, s, q, z, gamma, alpha, jnp.asarray(0, jnp.int32))
-    x, r, u, w, p, s, q, z, gamma, alpha, it = lax.while_loop(cond, body, carry)
-    relres = _norm(r, axis_name) / bnorm
+    carry = (x, r, u, w, p, s, q, z, gamma, alpha, rr, jnp.asarray(0, jnp.int32))
+    x, r, u, w, p, s, q, z, gamma, alpha, rr, it = lax.while_loop(cond, body, carry)
+    relres = jnp.sqrt(rr) / bnorm
     return KrylovResult(x=x, iters=it, relres=relres, converged=relres <= tol)
 
 
@@ -194,6 +210,7 @@ def gmres(
     max_restarts: int = 15,
     null_vec: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    block: int = 5,
 ) -> KrylovResult:
     """Right-preconditioned restarted GMRES(m).
 
@@ -201,10 +218,18 @@ def gmres(
     map onto the MXU/VPU far better than modified GS's sequential dots — and
     Givens rotations for the running residual, matching Belos defaults
     (orthogonalization "DGKS", solver_lin_belos.h:239).
+
+    The Arnoldi sweep runs as a ``while_loop`` over blocks of ``block`` inner
+    iterations: a converged solve stops paying matvecs at the next block
+    boundary (<= block-1 wasted matvecs) instead of burning the full restart
+    of ``m`` — on the slowly-varying SPH systems with warm starts that is a
+    5-10x matvec saving per solve.  ``block`` must divide ``restart``.
     """
     dtype = b.dtype
     n = b.shape[0]
     m = restart
+    if m % block != 0:
+        block = 1
     x = jnp.zeros_like(b) if x0 is None else x0
     if M is None:
         M = lambda v: v
@@ -270,8 +295,20 @@ def gmres(
             g = jnp.where(done, g, g_new)
             return V, H, cs, sn, g, done | conv
 
-        V, H, cs, sn, g, done = lax.fori_loop(
-            0, m, arnoldi, (V, H, cs, sn, g, jnp.asarray(False))
+        def wcond(carry):
+            V, H, cs, sn, g, done, j = carry
+            return (~done) & (j < m)
+
+        def wbody(carry):
+            V, H, cs, sn, g, done, j = carry
+            V, H, cs, sn, g, done = lax.fori_loop(
+                0, block, lambda i, c: arnoldi(j + i, c), (V, H, cs, sn, g, done)
+            )
+            return V, H, cs, sn, g, done, j + block
+
+        V, H, cs, sn, g, done, jdone = lax.while_loop(
+            wcond, wbody,
+            (V, H, cs, sn, g, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
         )
 
         # back substitution on the triangularized H (guard zero diagonal of
@@ -282,23 +319,31 @@ def gmres(
         y = jax.scipy.linalg.solve_triangular(R, g[:m], lower=False)
         y = jnp.where(diag_ok, y, 0.0)
         x = x + M(V[:m].T @ y)
-        return x
+        return x, jdone
 
+    # Outer restart loop with STAGNATION exit: when a full cycle fails to cut
+    # the true residual by at least 10%, further restarts are provably wasted
+    # (classic restarted-GMRES stall, or the dtype's accuracy floor — in f32
+    # the Belos default 1e-8 is unreachable and every solve would otherwise
+    # burn all max_restarts cycles at the ~1e-6 floor).
     def cond(carry):
-        x, it, relres = carry
-        return (relres > tol) & (it < max_restarts)
+        x, it, iters, relres, stalled = carry
+        return (relres > tol) & (it < max_restarts) & ~stalled
 
     def body(carry):
-        x, it, relres = carry
-        x = cycle(x)
-        relres = _norm(b - A(x), axis_name) / bnorm
-        return (x, it + 1, relres)
+        x, it, iters, relres, stalled = carry
+        x, j = cycle(x)
+        relres_new = _norm(b - A(x), axis_name) / bnorm
+        stalled = relres_new > 0.9 * relres
+        return (x, it + 1, iters + j, relres_new, stalled)
 
     r0 = _norm(b - A(x), axis_name) / bnorm
-    x, it, relres = lax.while_loop(
-        cond, body, (x, jnp.asarray(0, jnp.int32), r0)
+    x, it, iters, relres, _ = lax.while_loop(
+        cond, body,
+        (x, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), r0,
+         jnp.asarray(False)),
     )
-    return KrylovResult(x=x, iters=it * m, relres=relres, converged=relres <= tol)
+    return KrylovResult(x=x, iters=iters, relres=relres, converged=relres <= tol)
 
 
 class RecycleSpace(NamedTuple):
