@@ -151,7 +151,10 @@ def build_neighbor_list(
     sorted_cid = cid[order]
     starts = jnp.searchsorted(sorted_cid, jnp.arange(ncells + 1, dtype=sorted_cid.dtype))
     rank = jnp.arange(n, dtype=jnp.int32) - starts[sorted_cid].astype(jnp.int32)
-    cell_overflow = jnp.maximum(rank.max() + 1 - cap, 0)
+    # capacity check over REAL cells only — the virtual park cell collects
+    # every invalid/padding slot and legitimately exceeds any cap
+    real_rank = jnp.where(sorted_cid < ncells, rank, -1)
+    cell_overflow = jnp.maximum(real_rank.max() + 1 - cap, 0)
 
     # bucket table: (ncells+1, cap), sentinel n for empty slots
     table = jnp.full((ncells + 1, cap), n, dtype=jnp.int32)

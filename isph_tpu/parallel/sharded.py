@@ -1,0 +1,569 @@
+"""Distributed full timestep: slab decomposition + halo exchange + migration.
+
+TPU-native re-design of the reference's ONLY parallel model — MPI spatial
+domain decomposition with per-field ghost ("halo") exchange inside every
+physics phase and atom migration on re-neighboring:
+
+- owned + ghost particles per rank: LAMMPS comm->exchange/borders,
+  PairISPH::refreshParticles (pair_isph.cpp:470-487);
+- per-field halo exchange registry: the CommType enum (pair_isph.h:96-107)
+  with pack/unpack_forward_comm (pair_isph.cpp:1924-2074) invoked per phase,
+  e.g. Vfrac (functor_volume.h:76-81), NormalVector+pnd
+  (pair_isph_corrected.cpp:1352-1377), Vstar (pair_isph.cpp:977-979),
+  DeltaP (pair_isph.cpp:1017-1019), Psi (pair_isph.cpp:596-598);
+- distributed SpMV column import: Epetra's internal Import inside Multiply;
+- global reductions: MPI_Allreduce in every Belos dot.
+
+Here the whole timestep runs inside ONE ``shard_map`` over a 1-D device mesh:
+
+- particles live in fixed-size per-device slabs [n_loc owned | H left-halo |
+  H right-halo] (static shapes; validity masks);
+- halo exchange is two ``lax.ppermute`` hops on the slab ring (ICI traffic
+  only touches the boundary layers);
+- the Krylov solves run on owned-masked vectors whose matvec refreshes the
+  halo slots before every local ELL apply (the Epetra Import equivalent) —
+  all dots are single psums via the existing axis_name plumbing in
+  isph_tpu.solvers.krylov;
+- migration re-buckets particles that crossed a slab boundary into the
+  neighbor device's free padding slots (comm->exchange parity).
+
+Coordinate trick: every device shifts its slab to a COMMON local frame
+(x0 - my_lo), so the neighbor cell grid is one static local Domain shared by
+the SPMD program; halo positions are unwrapped across the periodic seam
+before shifting, which makes the slab axis non-periodic locally and the
+global minimum image unnecessary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from isph_tpu.config import SimulationConfig, SingularPoisson
+from isph_tpu.state import Domain, Kind, ParticleState
+from isph_tpu.models.driver import Simulation, StepAux
+from isph_tpu.ops.neighbors import build_neighbor_list, compute_pair_geometry
+from isph_tpu.ops.kernels import get_kernel
+from isph_tpu.physics import ns_projection
+from isph_tpu.physics.status import compute_status
+from isph_tpu.solvers.krylov import gmres
+from isph_tpu.solvers.precond import jacobi
+
+
+# Per-field halo-exchange registry (CommType parity, pair_isph.h:96-107).
+# Constant-per-epoch fields travel once when the halo is built; the dynamic
+# fields are re-exchanged by name at the same points the reference calls
+# comm->forward_comm_pair.
+HALO_STATE_FIELDS = (
+    "x", "v", "kind", "rho", "nu", "p", "vstar", "dp", "f",
+    "psi", "psi0", "psigrad", "eps", "sigma", "phi", "phigrad", "conc",
+    "phase",
+)
+
+
+class HaloSpec(NamedTuple):
+    """Static-shape halo plan for one re-neighboring epoch.
+
+    ``send_left``/``send_right`` are owned indices packed to H slots whose
+    fields are shipped to the left/right ring neighbor; ``recv_left_valid``/
+    ``recv_right_valid`` mask the H halo slots this device received.
+    """
+
+    send_left: jax.Array  # (H,) int32 owned indices
+    send_left_valid: jax.Array  # (H,) bool
+    send_right: jax.Array  # (H,) int32
+    send_right_valid: jax.Array  # (H,) bool
+    recv_left_valid: jax.Array  # (H,) bool — halo slots [n_loc, n_loc+H)
+    recv_right_valid: jax.Array  # (H,) bool — halo slots [n_loc+H, n_loc+2H)
+    overflow: jax.Array  # () int32
+
+
+def _perms(axis: str):
+    n = lax.axis_size(axis)
+    fwd = [(i, (i + 1) % n) for i in range(n)]  # receive from LEFT neighbor
+    bwd = [(i, (i - 1) % n) for i in range(n)]  # receive from RIGHT neighbor
+    return fwd, bwd
+
+
+def _pack(f: jax.Array, idx: jax.Array) -> jax.Array:
+    return f[..., idx]
+
+
+def build_halo_spec(
+    x0: jax.Array, valid: jax.Array, my_lo, my_hi, cut: float, H: int,
+    axis: str, periodic: bool,
+) -> HaloSpec:
+    """Select owned boundary-layer particles (within ``cut`` of each slab
+    face) and exchange the validity masks (borders build,
+    LAMMPS comm->borders parity)."""
+    n = x0.shape[0]
+    inf = jnp.asarray(jnp.inf, x0.dtype)
+    goes_l = valid & (x0 < my_lo + cut)
+    goes_r = valid & (x0 >= my_hi - cut)
+    ordl = jnp.argsort(jnp.where(goes_l, x0, inf))[:H].astype(jnp.int32)
+    ordr = jnp.argsort(jnp.where(goes_r, -x0, inf))[:H].astype(jnp.int32)
+    cntl = goes_l.sum().astype(jnp.int32)
+    cntr = goes_r.sum().astype(jnp.int32)
+    sl_valid = jnp.arange(H) < cntl
+    sr_valid = jnp.arange(H) < cntr
+    overflow = jnp.maximum(cntl - H, 0) + jnp.maximum(cntr - H, 0)
+
+    fwd, bwd = _perms(axis)
+    rl_valid = lax.ppermute(sr_valid, axis, fwd)  # left neighbor's right pack
+    rr_valid = lax.ppermute(sl_valid, axis, bwd)  # right neighbor's left pack
+    if not periodic:
+        me = lax.axis_index(axis)
+        ndev = lax.axis_size(axis)
+        rl_valid = rl_valid & (me > 0)
+        rr_valid = rr_valid & (me < ndev - 1)
+        overflow = overflow * 1  # shape keep
+    return HaloSpec(
+        send_left=ordl, send_left_valid=sl_valid,
+        send_right=ordr, send_right_valid=sr_valid,
+        recv_left_valid=rl_valid, recv_right_valid=rr_valid,
+        overflow=overflow.astype(jnp.int32),
+    )
+
+
+def halo_exchange(f: jax.Array, spec: HaloSpec, n_loc: int, axis: str) -> jax.Array:
+    """Refresh the halo slots of an extended field from their owners
+    (forward_comm_pair of one CommType field, pair_isph.cpp:1924-2074).
+
+    f: (..., n_ext) with n_ext = n_loc + 2H; only [..., :n_loc] is read.
+    """
+    fwd, bwd = _perms(axis)
+    pl_ = _pack(f[..., :n_loc], spec.send_left)
+    pr_ = _pack(f[..., :n_loc], spec.send_right)
+    hl = lax.ppermute(pr_, axis, fwd)  # from left neighbor
+    hr = lax.ppermute(pl_, axis, bwd)  # from right neighbor
+    H = spec.send_left.shape[0]
+    f = lax.dynamic_update_slice_in_dim(f, hl, n_loc, axis=-1)
+    f = lax.dynamic_update_slice_in_dim(f, hr, n_loc + H, axis=-1)
+    return f
+
+
+def _extend(f: Optional[jax.Array], spec: HaloSpec, axis: str) -> Optional[jax.Array]:
+    """owned (..., n_loc) -> extended (..., n_loc + 2H) with exchanged halos."""
+    if f is None:
+        return None
+    fwd, bwd = _perms(axis)
+    hl = lax.ppermute(_pack(f, spec.send_right), axis, fwd)
+    hr = lax.ppermute(_pack(f, spec.send_left), axis, bwd)
+    return jnp.concatenate([f, hl, hr], axis=-1)
+
+
+class _Comm(NamedTuple):
+    """Per-epoch communication context threaded through the sharded phases."""
+
+    spec: HaloSpec
+    n_loc: int
+    axis: str
+    owned: jax.Array  # (n_ext,) bool: owned AND valid
+    ownedf: jax.Array  # (n_ext,) dtype
+
+    def refresh(self, f: jax.Array) -> jax.Array:
+        return halo_exchange(f, self.spec, self.n_loc, self.axis)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedSimulation:
+    """Slab-decomposed simulation over a 1-D device mesh.
+
+    The slab axis is spatial axis 0.  ``n_loc`` owned slots and ``H`` halo
+    slots per side are static; the slab width must exceed the kernel cutoff
+    (one-neighbor halos, as the reference requires of its MPI bricks).
+    """
+
+    sim: Simulation
+    mesh: Mesh
+    n_loc: int
+    halo: int
+    migrate_cap: int = 64
+    axis: str = "dp"
+    # the LOCAL cell grid has cells up to 2x cutoff wide per axis (floor of
+    # the slab+halo extent), so the per-cell bucket must grow vs the global
+    # builder's; None = 4x the configured capacity
+    cell_capacity: Optional[int] = None
+
+    def __post_init__(self):
+        assert self.halo <= self.n_loc, (
+            f"halo {self.halo} exceeds owned capacity n_loc {self.n_loc}"
+        )
+        assert 2 * self.migrate_cap <= self.n_loc
+
+    @property
+    def cfg(self) -> SimulationConfig:
+        return self.sim.cfg
+
+    @property
+    def n_dev(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def slab_w(self) -> float:
+        d = self.sim.domain
+        return d.length[0] / self.n_dev
+
+    def local_domain(self) -> Domain:
+        """Static per-slab domain in the common local frame: axis 0 covers
+        [-cut-eps, slab_w+cut+eps] non-periodically (halos unwrapped), other
+        axes keep the global extent/periodicity."""
+        d = self.sim.domain
+        cut = self.cfg.cut
+        eps = 1e-6 * d.length[0]
+        lo = (-cut - eps,) + tuple(d.lo[1:])
+        hi = (self.slab_w + cut + eps,) + tuple(d.hi[1:])
+        periodic = (False,) + tuple(d.periodic[1:])
+        return Domain(lo=lo, hi=hi, periodic=periodic)
+
+    # ------------------------------------------------------------------
+    # per-device step body (runs inside shard_map)
+    # ------------------------------------------------------------------
+    def _step_local(self, state: ParticleState) -> Tuple[ParticleState, StepAux]:
+        cfg = self.cfg
+        axis = self.axis
+        dom = self.sim.domain
+        n_loc, H = self.n_loc, self.halo
+        dtype = state.dtype
+        me = lax.axis_index(axis)
+        my_lo = dom.lo[0] + me.astype(dtype) * jnp.asarray(self.slab_w, dtype)
+        my_hi = my_lo + self.slab_w
+        L0 = dom.length[0]
+
+        # ---- borders: build halo spec + extended state -----------------
+        spec = build_halo_spec(
+            state.x[0], state.valid, my_lo, my_hi, cfg.cut, H, axis,
+            dom.periodic[0],
+        )
+        ext_fields = {
+            k: _extend(getattr(state, k), spec, axis) for k in HALO_STATE_FIELDS
+        }
+        valid_ext = jnp.concatenate(
+            [state.valid, spec.recv_left_valid, spec.recv_right_valid]
+        )
+        # unwrap halo slab coordinates across the periodic seam
+        x = ext_fields["x"]
+        x0 = x[0]
+        idx_ext = jnp.arange(n_loc + 2 * H)
+        in_l = (idx_ext >= n_loc) & (idx_ext < n_loc + H)
+        in_r = idx_ext >= n_loc + H
+        x0_l = my_lo - jnp.mod(my_lo - x0, L0)
+        x0_r = my_hi + jnp.mod(x0 - my_hi, L0)
+        x0 = jnp.where(in_l, x0_l, jnp.where(in_r, x0_r, x0))
+        x = x.at[0].set(x0)
+        ext_fields["x"] = x
+
+        # ext.valid keeps OWNED-only semantics so every global reduction
+        # (zero-mean pressure, status, null vector) counts each particle on
+        # exactly one device; the union mask feeds the neighbor build so
+        # owned rows see their halo neighbors.
+        owned_valid = jnp.concatenate(
+            [state.valid, jnp.zeros((2 * H,), bool)]
+        )
+        ext = state.replace(
+            valid=owned_valid,
+            **{k: v for k, v in ext_fields.items() if v is not None},
+        )
+        comm = _Comm(
+            spec=spec, n_loc=n_loc, axis=axis,
+            owned=owned_valid, ownedf=owned_valid.astype(dtype),
+        )
+
+        # ---- local neighbor list + pair geometry (common local frame) ---
+        x_local = ext.x.at[0].add(-my_lo)
+        ldom = self.local_domain()
+        cap = (self.cell_capacity if self.cell_capacity is not None
+               else 4 * cfg.neighbor.cell_capacity)
+        nbrs = build_neighbor_list(
+            x_local, valid_ext, ldom, cfg.cut,
+            cfg.neighbor.max_neighbors, cap,
+        )
+        kern = get_kernel(cfg.kernel.type)
+        geom = compute_pair_geometry(x_local, nbrs, ldom, kern, cfg.h)
+
+        # ---- computePre with in-phase halo refreshes (Vfrac comm:
+        # functor_volume.h:76-81; NormalVector+pnd: pair_isph_corrected.cpp:
+        # 1352-1377) — the Shepard volume is consumed at neighbor positions
+        # by Gc/Lc, so its ghosts must be imported BEFORE those tensors
+        pre = ns_projection.compute_pre(ext, geom, cfg, exchange=comm.refresh)
+
+        ext = ext.replace(f=jnp.zeros_like(ext.v))
+        if self.sim.extra_force is not None:
+            ext = ext.replace(f=self.sim.extra_force(ext, dom))
+
+        # ---- Helmholtz (momentum predictor) ------------------------------
+        A_h, b_h = ns_projection.helmholtz_system(ext, geom, pre, cfg)
+        if abs(cfg.ns.theta) < 1e-14:
+            vstar = b_h * comm.ownedf[None, :]
+            hres = None
+        else:
+            comps = []
+            hres = []
+            for d in range(state.dim):
+                r = self._dist_solve(
+                    cfg, A_h, b_h[d] * comm.ownedf, ext.v[d] * comm.ownedf, comm,
+                )
+                comps.append(r.x)
+                hres.append(r)
+            vstar = jnp.stack(comps)
+            hres = jax.tree.map(lambda *xs: jnp.stack(xs), *hres)
+        # comm Vstar (pair_isph.cpp:977-979)
+        vstar = comm.refresh(vstar)
+        ext = ext.replace(vstar=vstar)
+
+        # ---- pressure Poisson --------------------------------------------
+        A_p, b_p = ns_projection.poisson_system(ext, geom, pre, cfg, vstar)
+        singular = cfg.ns.singular_poisson
+        null_vec = None
+        if singular == SingularPoisson.NULL_SPACE:
+            null_vec = (ext.is_fluid & comm.owned).astype(dtype)
+        homogeneous_neumann = singular != SingularPoisson.NOT_SINGULAR
+        if homogeneous_neumann:
+            fluid_rows = ext.is_fluid & comm.owned
+            A_f = A_p.zero_rows(~fluid_rows).with_diag(
+                jnp.where(fluid_rows, A_p.diag, jnp.asarray(1.0, dtype))
+            )
+            b_f = jnp.where(fluid_rows, b_p, 0.0)
+            pres = self._dist_solve(
+                cfg, A_f, b_f, jnp.zeros_like(b_f), comm, null_vec=null_vec,
+            )
+            dp = pres.x
+            if pre.normal is not None:
+                # wall-row relaxation (solid pressure extension) with halo
+                # refresh inside each sweep
+                nsq = sum(pre.normal[d] * pre.normal[d] for d in range(state.dim))
+                wall = ext.is_solid & (nsq > 0.5) & comm.owned
+                l1 = jnp.abs(A_p.diag) + (jnp.abs(A_p.vals) * A_p.mask).sum(axis=0)
+                sgn = jnp.where(A_p.diag < 0, -1.0, 1.0)
+                dinv = sgn / jnp.maximum(l1, 1e-300)
+                wallf = wall.astype(dtype)
+                for _ in range(20):
+                    dp = dp + wallf * dinv * (b_p - A_p.matvec(comm.refresh(dp)))
+                    dp = dp * comm.ownedf
+        else:
+            pres = self._dist_solve(
+                cfg, A_p, b_p * comm.ownedf, jnp.zeros_like(b_p), comm,
+                null_vec=null_vec,
+            )
+            dp = pres.x
+
+        if cfg.ns.use_incremental_pressure:
+            dp = ns_projection.zero_mean_pressure(dp, ext, axis_name=axis)
+        # comm DeltaP (pair_isph.cpp:1017-1019)
+        dp = comm.refresh(dp)
+
+        vstar = ns_projection.correct_velocity(ext, geom, pre, cfg, vstar, dp)
+        vstar = comm.refresh(vstar)
+        p = ns_projection.correct_pressure(ext, cfg, dp)
+        p = jnp.where(ext.is_solid, 0.0, p)
+        p = comm.refresh(p)  # comm Pressure before advance-time gradient
+        ext = ext.replace(vstar=vstar, dp=dp, p=p)
+
+        # ---- advance time (moves owned fluid only: ext.valid = owned) ----
+        ext = ns_projection.advance_time(ext, geom, pre, cfg, dom)
+
+        # ---- shrink back to owned slots ----------------------------------
+        def shrink(f):
+            if f is None or f.ndim == 0:
+                return f
+            return f[..., :n_loc]
+
+        new_state = jax.tree.map(
+            shrink, ext, is_leaf=lambda a: a is None
+        )
+
+        # ---- migration (comm->exchange parity) ----------------------------
+        new_state, mig_overflow = self._migrate(new_state, my_lo, my_hi)
+
+        if new_state.step is not None:
+            new_state = new_state.replace(step=new_state.step + 1)
+        time = (
+            new_state.step.astype(dtype) if new_state.step is not None else 0.0
+        ) * cfg.dt
+        status = compute_status(
+            new_state, pre.vfrac[:n_loc], time, axis_name=axis
+        )
+        zero = jnp.asarray(0, jnp.int32)
+        overflow = (
+            lax.psum(nbrs.overflow + spec.overflow + mig_overflow, axis)
+        )
+        aux = StepAux(
+            status=status,
+            helmholtz_iters=(hres.iters.sum() if hres is not None else zero),
+            helmholtz_relres=(hres.relres.max() if hres is not None
+                              else jnp.asarray(0.0, dtype)),
+            poisson_iters=pres.iters,
+            poisson_relres=pres.relres,
+            neighbor_overflow=overflow,
+        )
+        return new_state, aux
+
+    # ------------------------------------------------------------------
+    def _dist_solve(self, cfg, A, b, x0, comm: _Comm, *, null_vec=None):
+        """Owned-masked Krylov solve whose matvec imports halo columns
+        before the local ELL apply (Epetra Import-in-Multiply parity)."""
+        sc = cfg.solver
+        tol = max(sc.tol, 30.0 * float(jnp.finfo(b.dtype).eps))
+
+        def mv(x):
+            return A.matvec(comm.refresh(x)) * comm.ownedf
+
+        diag_safe = jnp.where(jnp.abs(A.diag) > 0, A.diag, 1.0)
+
+        def M(r):
+            return r / diag_safe * comm.ownedf
+
+        return gmres(
+            mv, b, x0, M=M, tol=tol, restart=sc.restart,
+            max_restarts=sc.max_restarts, null_vec=null_vec,
+            axis_name=comm.axis,
+        )
+
+    # ------------------------------------------------------------------
+    def _migrate(self, state: ParticleState, my_lo, my_hi):
+        """Re-bucket owned particles that crossed a slab face into the
+        neighbor's free padding slots (refreshParticles / comm->exchange,
+        pair_isph.cpp:470-487).  Assumes at most one-slab hops per step."""
+        axis = self.axis
+        M = self.migrate_cap
+        n_loc = self.n_loc
+        dom = self.sim.domain
+        x0 = state.x[0]
+        valid = state.valid
+        dtype = state.dtype
+
+        ndev = lax.axis_size(axis)
+        me = lax.axis_index(axis)
+        slab_w = jnp.asarray(self.slab_w, dtype)
+        dest = jnp.floor((x0 - dom.lo[0]) / slab_w).astype(jnp.int32)
+        dest = jnp.clip(dest, 0, ndev - 1)
+        # ring displacement: +1 -> right neighbor, ndev-1 -> left neighbor.
+        # At ndev==2 both neighbors are the same device and everything ships
+        # via the +1 hop; at ndev==1 migration is a no-op (diff always 0).
+        diff = jnp.mod(dest - me, ndev)
+        go_r = valid & (diff == 1)
+        go_l = valid & (diff == ndev - 1) & (diff != 1) & (diff != 0)
+        stray = valid & (diff != 0) & ~go_l & ~go_r
+        inf = jnp.asarray(jnp.inf, dtype)
+        ordl = jnp.argsort(jnp.where(go_l, x0, inf))[:M].astype(jnp.int32)
+        ordr = jnp.argsort(jnp.where(go_r, -x0, inf))[:M].astype(jnp.int32)
+        cntl = go_l.sum().astype(jnp.int32)
+        cntr = go_r.sum().astype(jnp.int32)
+        sl_valid = jnp.arange(M) < cntl
+        sr_valid = jnp.arange(M) < cntr
+        overflow = (
+            jnp.maximum(cntl - M, 0) + jnp.maximum(cntr - M, 0) + stray.sum()
+        ).astype(jnp.int32)
+
+        fwd, bwd = _perms(axis)
+
+        def xchg(f):
+            if f is None or f.ndim == 0:
+                return None
+            rl = lax.ppermute(_pack(f, ordr), axis, fwd)
+            rr = lax.ppermute(_pack(f, ordl), axis, bwd)
+            return jnp.concatenate([rl, rr], axis=-1)  # (..., 2M)
+
+        rl_valid = lax.ppermute(sr_valid, axis, fwd)
+        rr_valid = lax.ppermute(sl_valid, axis, bwd)
+        recv_valid = jnp.concatenate([rl_valid, rr_valid])  # (2M,)
+
+        stay = valid & ~go_l & ~go_r
+        # free slots (invalid first in argsort of bool); left-recv takes the
+        # first rl_cnt free slots, right-recv starts right after, so writes
+        # stay within the true free region whenever the total count fits
+        free_ord = jnp.argsort(stay).astype(jnp.int32)
+        n_free = (n_loc - stay.sum()).astype(jnp.int32)
+        n_recv = recv_valid.sum().astype(jnp.int32)
+        overflow = overflow + jnp.maximum(n_recv - n_free, 0)
+        rl_cnt = rl_valid.sum().astype(jnp.int32)
+        slots_l = free_ord[:M]
+        slots_r = jnp.take(free_ord, rl_cnt + jnp.arange(M), mode="clip")
+        slots = jnp.concatenate([slots_l, slots_r])
+        put = jnp.where(recv_valid, slots, n_loc)  # out-of-bounds drops
+
+        def place(f):
+            r = xchg(f)
+            if r is None:
+                return f
+            return f.at[..., put].set(r, mode="drop")
+
+        leaves = {}
+        for k in HALO_STATE_FIELDS:
+            fv = getattr(state, k)
+            if fv is not None:
+                leaves[k] = place(fv)
+        new_valid = stay.at[put].set(True, mode="drop")
+        return state.replace(valid=new_valid, **leaves), overflow
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def make_step(self, state: ParticleState):
+        """Build the sharded step closure for a given (already partitioned,
+        see :func:`partition_state`) state structure.  All per-step aux
+        scalars are replicated (their reductions psum over the mesh)."""
+        specs = jax.tree.map(
+            lambda leaf: P() if leaf.ndim == 0
+            else P(*([None] * (leaf.ndim - 1) + [self.axis])),
+            state,
+        )
+
+        def run(st):
+            return jax.shard_map(
+                self._step_local, mesh=self.mesh,
+                in_specs=(specs,), out_specs=(specs, P()),
+                check_vma=False,
+            )(st)
+
+        return run
+
+
+def partition_state(
+    state: ParticleState, domain: Domain, n_dev: int, n_loc: int
+) -> ParticleState:
+    """Re-bucket a global state into slab-blocked order: device d owns slots
+    [d*n_loc, (d+1)*n_loc) holding the particles whose x0 falls in slab d
+    (padding slots invalid).  Host-side, once per run (LAMMPS initial domain
+    decomposition parity)."""
+    x0 = np.asarray(state.x[0])
+    valid = np.asarray(state.valid)
+    slab_w = domain.length[0] / n_dev
+    dest = np.floor((x0 - domain.lo[0]) / slab_w).astype(np.int64)
+    dest = np.clip(dest, 0, n_dev - 1)
+    dest = np.where(valid, dest, n_dev)  # padding last
+
+    out_idx = np.full((n_dev * n_loc,), -1, np.int64)
+    for d in range(n_dev):
+        members = np.nonzero(dest == d)[0]
+        assert len(members) <= n_loc, (
+            f"slab {d} holds {len(members)} > n_loc={n_loc} particles"
+        )
+        out_idx[d * n_loc : d * n_loc + len(members)] = members
+
+    # padding fills mirror make_state's conventions — material fields must
+    # stay non-zero on padding slots (1/rho, 1/eps of a zero fill would put
+    # inf into assembled rows, and 0 * inf = nan survives the owned masks)
+    fills = {"rho": 1.0, "nu": 0.0, "eps": 1.0, "sigma": 1.0}
+
+    def remap(f, fill=0.0):
+        if f is None or f.ndim == 0:
+            return f
+        a = np.asarray(f)
+        out = np.full(a.shape[:-1] + (n_dev * n_loc,), fill, a.dtype)
+        sel = out_idx >= 0
+        out[..., sel] = a[..., out_idx[sel]]
+        return jnp.asarray(out)
+
+    new = {k: remap(getattr(state, k), fills.get(k, 0.0))
+           for k in HALO_STATE_FIELDS if getattr(state, k) is not None}
+    new_valid = np.zeros((n_dev * n_loc,), bool)
+    new_valid[out_idx >= 0] = valid[out_idx[out_idx >= 0]]
+    return state.replace(valid=jnp.asarray(new_valid), **new)

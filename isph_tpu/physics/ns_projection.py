@@ -40,12 +40,25 @@ def family_of(cfg: SimulationConfig) -> Family:
     return ANTISYMMETRIC if cfg.ns.use_momentum_preserve_operator else SYMMETRIC
 
 
-def compute_pre(state: ParticleState, geom: PairGeom, cfg: SimulationConfig) -> Precomputed:
-    """Reference PairISPH_Corrected::computePre (pair_isph_corrected.cpp:302-430)."""
-    vfrac = ops.shepard_volume(geom)
+def compute_pre(state: ParticleState, geom: PairGeom, cfg: SimulationConfig,
+                *, exchange=None) -> Precomputed:
+    """Reference PairISPH_Corrected::computePre (pair_isph_corrected.cpp:302-430).
+
+    ``exchange`` is the distributed halo-refresh hook: the Shepard volume is
+    consumed at NEIGHBOR positions by the correction tensors, so its ghost
+    values must be imported before Gc/Lc — exactly where the reference
+    forward-comms Vfrac inside FunctorVolume::exitFor (functor_volume.h:76-81)
+    — and likewise normals+pnd after computeNormals
+    (pair_isph_corrected.cpp:1352-1377)."""
+    ex = (lambda f: f) if exchange is None else exchange
+    vfrac = ex(ops.shepard_volume(geom))
     Gc = ops.gradient_correction(geom, vfrac)
     Lc = ops.laplacian_correction(geom, vfrac, Gc)
     normal, pnd = ops.interface_normal(geom, vfrac, state.kind, Gc, cfg.h)
+    if normal is not None:
+        normal = ex(normal)
+    if pnd is not None:
+        pnd = ex(pnd)
     return Precomputed(vfrac=vfrac, Gc=Gc, Lc=Lc, normal=normal, pnd=pnd)
 
 

@@ -12,12 +12,22 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _safe_recip(x):
+    """1/x with a finite fallback for degenerate rows: padding slots and
+    partially-built halo rows have zero/rank-deficient systems; their inverse
+    is garbage that downstream masks discard, but it must be FINITE (0 * inf
+    = nan would survive the masks)."""
+    return jnp.where(jnp.abs(x) > 1e-300, 1.0, 0.0) / jnp.where(
+        jnp.abs(x) > 1e-300, x, 1.0
+    )
+
+
 def inv2(G):
     """G: (2, 2, N) -> inverse (2, 2, N)."""
     a, b = G[0, 0], G[0, 1]
     c, d = G[1, 0], G[1, 1]
     det = a * d - b * c
-    inv_det = 1.0 / det
+    inv_det = _safe_recip(det)
     return jnp.stack(
         [
             jnp.stack([d * inv_det, -b * inv_det]),
@@ -38,7 +48,7 @@ def inv3(G):
     c21 = G[0, 1] * G[2, 0] - G[0, 0] * G[2, 1]
     c22 = G[0, 0] * G[1, 1] - G[0, 1] * G[1, 0]
     det = G[0, 0] * c00 + G[0, 1] * c10 + G[0, 2] * c20
-    inv_det = 1.0 / det
+    inv_det = _safe_recip(det)
     return jnp.stack(
         [
             jnp.stack([c00, c01, c02]),
@@ -76,7 +86,7 @@ def solve_leading(A, b):
     A = [[A[i, j] for j in range(m)] for i in range(m)]
     b = [b[i] for i in range(m)]
     for k in range(m):
-        piv = 1.0 / A[k][k]
+        piv = _safe_recip(A[k][k])
         for i in range(k + 1, m):
             f = A[i][k] * piv
             for j in range(k + 1, m):
@@ -87,7 +97,7 @@ def solve_leading(A, b):
         s = b[i]
         for j in range(i + 1, m):
             s = s - A[i][j] * x[j]
-        x[i] = s / A[i][i]
+        x[i] = s * _safe_recip(A[i][i])
     return jnp.stack(x)
 
 
@@ -105,7 +115,7 @@ def inv_leading(A):
     inv = [[jnp.full_like(A[0, 0], 1.0 if i == j else 0.0) for j in range(m)]
            for i in range(m)]
     for k in range(m):
-        piv = 1.0 / a[k][k]
+        piv = _safe_recip(a[k][k])
         a[k] = [v * piv for v in a[k]]
         inv[k] = [v * piv for v in inv[k]]
         for i in range(m):
