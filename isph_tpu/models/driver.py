@@ -194,13 +194,44 @@ class Simulation:
         """jit-ready closure."""
         return partial(self.step, axis_name=axis_name)
 
+    def with_larger_neighbors(self) -> "Simulation":
+        """Grown static neighbor shapes for the overflow-recompile policy:
+        +8 padded slots, doubled cell bucket, widened gather-plan chunks.
+        The reference instead reallocates its neighbor arrays every step
+        (pair_isph.cpp:1244); with static shapes the growth is a recompile."""
+        nb = self.cfg.neighbor
+        gc = nb.gather_chunks
+        if isinstance(gc, tuple):
+            gc = tuple(g + 2 for g in gc) + (max(gc),)  # widen + new slot group
+        elif gc:
+            gc = int(gc) + 2
+        grown = dataclasses.replace(
+            nb,
+            max_neighbors=nb.max_neighbors + 8,
+            cell_capacity=nb.cell_capacity * 2,
+            gather_chunks=gc,
+        )
+        return dataclasses.replace(self, cfg=self.cfg.replace(neighbor=grown))
+
     def run(self, state: ParticleState, nsteps: int) -> Tuple[ParticleState, StepAux]:
         """Host loop (keeps per-step aux of the last step).  For benchmarks use
-        ``jax.lax.scan`` over :meth:`step` instead."""
-        step = jax.jit(self.step_fn())
+        ``jax.lax.scan`` over :meth:`step` instead.
+
+        Overflow policy: when a step reports ``neighbor_overflow`` the step is
+        DISCARDED and retried with grown neighbor shapes (larger K / cell
+        capacity / plan widths) — pairs are never silently dropped."""
+        sim = self
+        step = jax.jit(sim.step_fn())
         aux = None
-        for _ in range(nsteps):
-            state, aux = step(state)
+        done = 0
+        while done < nsteps:
+            new_state, aux = step(state)
+            if int(aux.neighbor_overflow) > 0:
+                sim = sim.with_larger_neighbors()
+                step = jax.jit(sim.step_fn())
+                continue  # retry the same step with room for every pair
+            state = new_state
+            done += 1
         return state, aux
 
     def run_until(
@@ -208,12 +239,20 @@ class Simulation:
     ) -> Tuple[ParticleState, Optional[StepAux], int]:
         """Run at most nsteps, stopping early when ``quit_fn(state, aux) ->
         bool`` (host predicate on the per-step diagnostics) fires — the
-        FixISPH_Quit condition stop (fix_isph_quit.cpp)."""
-        step = jax.jit(self.step_fn())
+        FixISPH_Quit condition stop (fix_isph_quit.cpp).  Applies the same
+        neighbor-overflow regrow policy as :meth:`run`."""
+        sim = self
+        step = jax.jit(sim.step_fn())
         aux = None
         done = 0
-        for done in range(1, nsteps + 1):
-            state, aux = step(state)
+        while done < nsteps:
+            new_state, aux = step(state)
+            if int(aux.neighbor_overflow) > 0:
+                sim = sim.with_larger_neighbors()
+                step = jax.jit(sim.step_fn())
+                continue
+            state = new_state
+            done += 1
             if bool(quit_fn(state, aux)):
                 break
         return state, aux, done

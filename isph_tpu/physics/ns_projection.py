@@ -75,9 +75,10 @@ def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=Non
     # ~30 eps, below which Krylov iterations only burn matvecs.
     tol = max(sc.tol, 30.0 * float(jnp.finfo(b.dtype).eps))
     if amg is not None and sc.precond == "amg":
-        # AMG hierarchy (replaces ML, precond_ml.h); amg = (x, domain, cutoff)
+        # AMG hierarchy (replaces ML, precond_ml.h); amg = (x, domain, cutoff);
+        # the null vector rides into the hierarchy (ML setNullVector parity)
         x_pos, domain, cutoff = amg
-        M = build_amg(A, x_pos, domain, cutoff).apply
+        M = build_amg(A, x_pos, domain, cutoff, null_vec=null_vec).apply
     elif sc.precond == "ilu":
         from isph_tpu.solvers.ilu import ilu0
 

@@ -145,14 +145,32 @@ def _grid_parent(child: CoarseGrid, parent: CoarseGrid) -> jax.Array:
     return _bin_to_grid(jnp.asarray(centers), parent)
 
 
-def galerkin_coarse(A: ELL, agg: jax.Array, fine_x_agg_of_col: jax.Array, grid: CoarseGrid) -> ELL:
+def make_onehot(agg: jax.Array, nc: int, dtype) -> jax.Array:
+    """Piecewise-constant prolongation as a materialized (nc, N) 0/1 matrix.
+
+    WHY: restriction (P^T r) and prolongation (P x_c) are segment-sum /
+    segment-broadcast — XLA lowers the index formulation to serialized
+    scalar scatter/gathers on TPU, while the one-hot matmul runs on the MXU
+    at memory-bandwidth speed.  Memory is nc*N*4 bytes (N/81-ish aggregates
+    in 2-D => N^2/20 bytes); fine up to ~10^5 particles per chip, beyond
+    which the scatter path or a Pallas segment kernel takes over.
+    """
+    return (agg[None, :] == jnp.arange(nc, dtype=agg.dtype)[:, None]).astype(dtype)
+
+
+def galerkin_coarse(
+    A: ELL, agg: jax.Array, fine_x_agg_of_col: jax.Array, grid: CoarseGrid,
+    onehot: Optional[jax.Array] = None,
+) -> ELL:
     """A_c = P^T A P for piecewise-constant P over aggregates.
 
     agg: (N,) aggregate id of each fine row; fine_x_agg_of_col: (K, N)
     aggregate id of each fine column entry (= agg[A.idx]).  Off-aggregate
     entries land in the stencil slot determined by the coarse-grid offset
     (arithmetic, no search); same-aggregate entries land on the coarse
-    diagonal.
+    diagonal.  With ``onehot`` the per-aggregate sums run as (nc, N) matmuls
+    on the MXU (slot membership is decided element-wise first, then one
+    row-sum per stencil slot); without it, scatter-adds (CPU path).
     """
     dim = grid.dim
     ncell = np.asarray(grid.ncell)
@@ -195,22 +213,26 @@ def galerkin_coarse(A: ELL, agg: jax.Array, fine_x_agg_of_col: jax.Array, grid: 
     same = (slot == -1) & valid_off
     off_ok = (slot >= 0) & valid_off
 
-    # coarse diagonal: fine diagonals + same-aggregate offdiagonals
-    cdiag = jnp.zeros((nc,), A.vals.dtype)
-    cdiag = cdiag.at[agg].add(A.diag)
-    cdiag = cdiag.at[jnp.broadcast_to(agg[None, :], vm.shape)].add(
-        jnp.where(same, vm, 0.0), mode="drop"
-    )
+    # per-row sums per stencil slot: element-wise selects + one (N,) row sum
+    # each — no (K, N)-sized scatters
+    diag_row = A.diag + jnp.where(same, vm, 0.0).sum(axis=0)  # (N,)
+    off_rows = [
+        jnp.where(off_ok & (slot == s), vm, 0.0).sum(axis=0) for s in range(nslots)
+    ]
 
-    # coarse off-diagonals: scatter into (nslots, nc)
-    cvals = jnp.zeros((nslots, nc), A.vals.dtype)
-    slot_safe = jnp.maximum(slot, 0)
-    cvals = cvals.at[slot_safe, jnp.broadcast_to(agg[None, :], vm.shape)].add(
-        jnp.where(off_ok, vm, 0.0), mode="drop"
-    )
+    if onehot is not None:
+        # aggregate sums on the MXU
+        cdiag = onehot @ diag_row
+        cvals = jnp.stack([onehot @ r for r in off_rows])
+        touched = onehot.sum(axis=1)
+    else:
+        cdiag = jnp.zeros((nc,), A.vals.dtype).at[agg].add(diag_row)
+        cvals = jnp.stack(
+            [jnp.zeros((nc,), A.vals.dtype).at[agg].add(r) for r in off_rows]
+        )
+        touched = jnp.zeros((nc,), A.vals.dtype).at[agg].add(1.0)
 
     # empty aggregates (zero diag, no entries): pin to identity
-    touched = jnp.zeros((nc,), A.vals.dtype).at[agg].add(1.0)
     empty = (touched == 0) & (jnp.abs(cdiag) == 0)
     cdiag = jnp.where(empty, 1.0, cdiag)
 
@@ -219,50 +241,66 @@ def galerkin_coarse(A: ELL, agg: jax.Array, fine_x_agg_of_col: jax.Array, grid: 
 
 @dataclasses.dataclass
 class AMG:
-    """V-cycle preconditioner: apply(r) ~= A^{-1} r."""
+    """V-cycle preconditioner: apply(r) ~= A^{-1} r.
+
+    Everything expensive is hoisted into :func:`build_amg` (VERDICT r1 #2):
+    the l1-Jacobi smoother diagonals, the one-hot transfer operators, and
+    the dense coarse-grid INVERSE — the per-apply work is matvecs + matmuls
+    only (the reference ML preconditioner likewise does its setup once in
+    create() and reuses it across the Krylov iterations, precond_ml.h:130).
+    """
 
     levels: List[ELL]  # level 0 = fine
     aggs: List[jax.Array]  # agg id mapping level l -> l+1 (len = len(levels)-1)
-    omegas: List[jax.Array]  # damped-Jacobi weights per level
+    dinvs: List[jax.Array]  # damped l1-Jacobi inverse diagonals per level
+    onehots: List[Optional[jax.Array]]  # (nc, n_l) transfer matrices (or None)
+    coarse_inv: jax.Array  # dense inverse of the coarsest operator
+    null_vec: Optional[jax.Array] = None  # normalized fine-level null vector
     npre: int = 2
     npost: int = 2
-    coarse_reg: float = 1.0e-8
 
     def _smooth(self, l: int, A: ELL, x, b, sweeps: int):
         # l1-Jacobi: damp by |diag| + sum_j |offdiag| (with the diagonal's
         # sign) — unconditionally stable even on the non-diagonally-dominant
         # Neumann boundary rows where plain Jacobi diverges (replaces the
         # reference ML's sym-Gauss-Seidel, which is sequential on TPU)
-        l1 = jnp.abs(A.diag) + (jnp.abs(A.vals) * A.mask).sum(axis=0)
-        sgn = jnp.where(A.diag < 0, -1.0, 1.0)
-        dinv = sgn / jnp.maximum(l1, 1e-300)
-        w = self.omegas[l]
+        dinv = self.dinvs[l]
         for _ in range(sweeps):
-            x = x + w * dinv * (b - A.matvec(x))
+            x = x + dinv * (b - A.matvec(x))
         return x
-
-    def _coarse_solve(self, A: ELL, b):
-        Ad = A.to_dense()
-        n = Ad.shape[0]
-        scale = jnp.maximum(jnp.abs(A.diag).max(), 1e-300)
-        Ad = Ad + self.coarse_reg * scale * jnp.eye(n, dtype=Ad.dtype)
-        return jnp.linalg.solve(Ad, b)
 
     def _cycle(self, l: int, b):
         A = self.levels[l]
         if l == len(self.levels) - 1:
-            return self._coarse_solve(A, b)
+            return self.coarse_inv @ b
         x = self._smooth(l, A, jnp.zeros_like(b), b, self.npre)
         r = b - A.matvec(x)
         agg = self.aggs[l]
-        rc = jnp.zeros((self.levels[l + 1].n,), b.dtype).at[agg].add(r)
-        xc = self._cycle(l + 1, rc)
-        x = x + xc[agg]
+        oh = self.onehots[l]
+        if oh is not None:
+            rc = oh @ r
+            xc = self._cycle(l + 1, rc)
+            x = x + xc @ oh
+        else:
+            rc = jnp.zeros((self.levels[l + 1].n,), b.dtype).at[agg].add(r)
+            xc = self._cycle(l + 1, rc)
+            x = x + xc[agg]
         x = self._smooth(l, A, x, b, self.npost)
         return x
 
     def apply(self, r):
-        return self._cycle(0, r)
+        """V-cycle; for singular (pure-Neumann) operators the input and the
+        correction are deflated against the null vector — the ML wrapper's
+        setNullVector treatment (precond_ml.h:96-127).  Without it the
+        regularized coarse inverse amplifies the null component by 1/reg and
+        restarted GMRES stalls around 1e-4."""
+        if self.null_vec is not None:
+            nh = self.null_vec
+            r = r - (r @ nh) * nh
+        x = self._cycle(0, r)
+        if self.null_vec is not None:
+            x = x - (x @ nh) * nh
+        return x
 
     def __call__(self, r):
         return self.apply(r)
@@ -279,26 +317,60 @@ def build_amg(
     npre: int = 2,
     npost: int = 2,
     omega: float = 0.8,
+    coarse_reg: float = 1.0e-8,
+    onehot_budget: int = 64_000_000,
+    null_vec: Optional[jax.Array] = None,
 ) -> AMG:
     """Assemble the AMG hierarchy for the current matrix/positions.
 
     Static structure (grids, stencils) depends only on the domain and cutoff;
-    values are recomputed from A each call, so this traces into jit.
+    values are recomputed from A each call, so this traces into jit.  One-hot
+    transfer matmuls (MXU) are used whenever nc*N fits ``onehot_budget``
+    entries, else the scatter path.
     """
     grids = make_coarse_grids(domain, cutoff, coarsen=coarsen, min_n=min_coarse)
+    dtype = A.vals.dtype
     levels = [A]
     aggs = []
+    onehots = []
+
+    def one_level(Af, agg, grid):
+        nc = grid.n
+        oh = None
+        if nc * Af.n <= onehot_budget:
+            oh = make_onehot(agg, nc, dtype)
+        col_agg = agg[Af.idx]
+        Ac = galerkin_coarse(Af, agg, col_agg, grid, onehot=oh)
+        return Ac, oh
+
     agg0 = _bin_to_grid(x, grids[0])
-    col_agg = agg0[A.idx]
-    Ac = galerkin_coarse(A, agg0, col_agg, grids[0])
+    Ac, oh = one_level(A, agg0, grids[0])
     levels.append(Ac)
     aggs.append(agg0)
+    onehots.append(oh)
     for l in range(1, len(grids)):
         parent = _grid_parent(grids[l - 1], grids[l])
-        Aprev = levels[-1]
-        col_agg = parent[Aprev.idx]
-        Ac = galerkin_coarse(Aprev, parent, col_agg, grids[l])
+        Ac, oh = one_level(levels[-1], parent, grids[l])
         levels.append(Ac)
         aggs.append(parent)
-    omegas = [jnp.asarray(omega, A.vals.dtype) for _ in levels]
-    return AMG(levels=levels, aggs=aggs, omegas=omegas, npre=npre, npost=npost)
+        onehots.append(oh)
+
+    # smoother diagonals (damped l1-Jacobi) per level
+    dinvs = []
+    for lvl in levels:
+        l1 = jnp.abs(lvl.diag) + (jnp.abs(lvl.vals) * lvl.mask).sum(axis=0)
+        sgn = jnp.where(lvl.diag < 0, -1.0, 1.0)
+        dinvs.append(jnp.asarray(omega, dtype) * sgn / jnp.maximum(l1, 1e-300))
+
+    # dense coarse INVERSE once per build (per-apply cost = one matmul)
+    Acoarse = levels[-1]
+    Ad = Acoarse.to_dense()
+    scale = jnp.maximum(jnp.abs(Acoarse.diag).max(), 1e-300)
+    Ad = Ad + coarse_reg * scale * jnp.eye(Ad.shape[0], dtype=Ad.dtype)
+    coarse_inv = jnp.linalg.inv(Ad)
+
+    nh = None
+    if null_vec is not None:
+        nh = null_vec / jnp.maximum(jnp.sqrt((null_vec * null_vec).sum()), 1e-300)
+    return AMG(levels=levels, aggs=aggs, dinvs=dinvs, onehots=onehots,
+               coarse_inv=coarse_inv, null_vec=nh, npre=npre, npost=npost)

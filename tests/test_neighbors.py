@@ -106,3 +106,25 @@ def test_spatial_sort_order_invariance():
     np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2u.x), atol=1e-13)
     np.testing.assert_allclose(np.asarray(s1.v), np.asarray(s2u.v), atol=1e-13)
     np.testing.assert_allclose(np.asarray(s1.p), np.asarray(s2u.p), atol=1e-13)
+
+
+def test_overflow_regrow_policy():
+    """A too-small neighbor width must not silently drop pairs: Simulation.run
+    retries the step with grown shapes until overflow clears (the reference
+    reallocates per step, pair_isph.cpp:1244)."""
+    import numpy as np
+    from isph_tpu.models import tgv
+
+    sim, state = tgv.make_tgv(16, max_neighbors=16)  # true max is ~28
+    nbrs = sim.neighbors(state)
+    assert int(nbrs.overflow) > 0  # baseline would drop pairs
+
+    state2, aux = sim.run(state, 2)
+    assert int(aux.neighbor_overflow) == 0
+    assert np.isfinite(float(aux.status.vmax))
+    # physics matches a correctly-sized run
+    sim_ok, state_ok = tgv.make_tgv(16, max_neighbors=48)
+    ref, aux_ok = sim_ok.run(state_ok, 2)
+    np.testing.assert_allclose(
+        np.asarray(state2.p), np.asarray(ref.p), atol=1e-10
+    )
