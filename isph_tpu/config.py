@@ -63,6 +63,9 @@ class SolverConfig:
     precond: str = "amg"  # "none" | "jacobi" | "ilu" | "amg" (AMG applies where the
     # solve has domain info in scope, i.e. the pressure Poisson; elsewhere it
     # falls back to Jacobi — the reference pairs Belos with ML the same way)
+    recycle_k: int = 0  # >0: GCRO-DR recycling GMRES on the pressure Poisson
+    # with a k-vector deflation space carried ACROSS timesteps in
+    # ParticleState.solver_cache (Belos "Recycling Gmres", solver_lin_belos.h:233)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -68,7 +68,9 @@ class SolveInfo(NamedTuple):
 
 
 def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=None,
-           amg: Optional[Tuple] = None) -> KrylovResult:
+           amg: Optional[Tuple] = None, recycle=None):
+    """Returns (KrylovResult, recycle_out); recycle_out is None unless a
+    RecycleSpace was passed in (GCRO-DR path, SolverConfig.recycle_k)."""
     sc = cfg.solver
     # dtype-aware tolerance floor: the Belos default 1e-8 (solver_lin_belos.h:236)
     # presumes f64; in f32 the attainable relative residual bottoms out near
@@ -87,16 +89,28 @@ def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=Non
         M = jacobi(A)
     else:
         M = None
+    if recycle is not None:
+        from isph_tpu.solvers.krylov import gmres_recycled, make_null_projector
+
+        proj = (make_null_projector(null_vec, axis_name) if null_vec is not None
+                else (lambda v: v))
+        res, rec_out = gmres_recycled(
+            lambda v: proj(A.matvec(v)), proj(b), x0, recycle=recycle, M=M,
+            tol=tol, restart=sc.restart, max_restarts=sc.max_restarts,
+            axis_name=axis_name,
+        )
+        return res, rec_out
     if sc.method == "pipelined_cg":
         from isph_tpu.solvers.krylov import pipelined_cg
 
         return pipelined_cg(A.matvec, b, x0, M=M, tol=tol, maxiter=sc.max_iters,
-                            null_vec=null_vec, axis_name=axis_name)
+                            null_vec=null_vec, axis_name=axis_name), None
     if sc.method == "cg":
         return cg(A.matvec, b, x0, M=M, tol=tol, maxiter=sc.max_iters,
-                  null_vec=null_vec, axis_name=axis_name)
+                  null_vec=null_vec, axis_name=axis_name), None
     return gmres(A.matvec, b, x0, M=M, tol=tol, restart=sc.restart,
-                 max_restarts=sc.max_restarts, null_vec=null_vec, axis_name=axis_name)
+                 max_restarts=sc.max_restarts, null_vec=null_vec,
+                 axis_name=axis_name), None
 
 
 def _fluid_pair_coeff(state: ParticleState, geom: PairGeom, jset: int) -> jax.Array:
@@ -178,7 +192,7 @@ def solve_helmholtz(
     # multivector solve: one Krylov run per velocity component (Belos Block
     # GMRES on the [N x D] multivector, pair_isph.cpp:936-971)
     res = jax.vmap(
-        lambda bc, xc: _solve(cfg, A, bc, xc, axis_name=axis_name),
+        lambda bc, xc: _solve(cfg, A, bc, xc, axis_name=axis_name)[0],
         in_axes=0, out_axes=0,
     )(b, state.v)
     return res.x, res
@@ -270,6 +284,7 @@ def poisson_system(
 def solve_poisson(
     state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig,
     vstar: jax.Array, *, domain: Optional[Domain] = None, axis_name=None,
+    recycle=None,
 ) -> Tuple[jax.Array, KrylovResult]:
     """Solve the pressure Poisson system.
 
@@ -302,7 +317,8 @@ def solve_poisson(
             jnp.where(fluid_rows, A.diag, jnp.asarray(1.0, dtype))
         )
         b_f = jnp.where(fluid_rows, b, 0.0)
-        res = _solve(cfg, A_f, b_f, x0, null_vec=null_vec, axis_name=axis_name, amg=amg)
+        res, recycle = _solve(cfg, A_f, b_f, x0, null_vec=null_vec,
+                              axis_name=axis_name, amg=amg, recycle=recycle)
         dp = res.x
         # wall pressure extension: relax the Neumann rows of the full system
         # (solid dp; only diagnostics/output consume it)
@@ -314,10 +330,11 @@ def solve_poisson(
         wallf = wall.astype(dtype)
         for _ in range(20):
             dp = dp + wallf * dinv * (b - A.matvec(dp))
-        return dp, res
+        return (dp, res) if recycle is None else (dp, res, recycle)
 
-    res = _solve(cfg, A, b, x0, null_vec=null_vec, axis_name=axis_name, amg=amg)
-    return res.x, res
+    res, recycle = _solve(cfg, A, b, x0, null_vec=null_vec, axis_name=axis_name,
+                          amg=amg, recycle=recycle)
+    return (res.x, res) if recycle is None else (res.x, res, recycle)
 
 
 def zero_mean_pressure(p: jax.Array, state: ParticleState, *, axis_name=None) -> jax.Array:
@@ -410,7 +427,19 @@ def navier_stokes_step(
         vstar, hinfo = solve_block_helmholtz(state, geom, pre, cfg, axis_name=axis_name)
     else:
         vstar, hinfo = solve_helmholtz(state, geom, pre, cfg, axis_name=axis_name)
-    dp, pinfo = solve_poisson(state, geom, pre, cfg, vstar, domain=domain, axis_name=axis_name)
+    if cfg.solver.recycle_k > 0:
+        from isph_tpu.solvers.krylov import init_recycle
+
+        rec = state.solver_cache
+        if rec is None:
+            rec = init_recycle(state.n, cfg.solver.recycle_k, state.dtype)
+        dp, pinfo, rec = solve_poisson(state, geom, pre, cfg, vstar,
+                                       domain=domain, axis_name=axis_name,
+                                       recycle=rec)
+        state = state.replace(solver_cache=rec)
+    else:
+        dp, pinfo = solve_poisson(state, geom, pre, cfg, vstar, domain=domain,
+                                  axis_name=axis_name)
     if cfg.ns.use_incremental_pressure:
         dp = zero_mean_pressure(dp, state, axis_name=axis_name)
     vstar = correct_velocity(state, geom, pre, cfg, vstar, dp)

@@ -362,11 +362,26 @@ def build_amg(
         sgn = jnp.where(lvl.diag < 0, -1.0, 1.0)
         dinvs.append(jnp.asarray(omega, dtype) * sgn / jnp.maximum(l1, 1e-300))
 
-    # dense coarse INVERSE once per build (per-apply cost = one matmul)
+    # dense coarse INVERSE once per build (per-apply cost = one matmul).
+    # Regularization is dtype-aware (1e-8 is meaningless in f32), and for
+    # singular operators the constant null direction is shifted away by a
+    # rank-one term before inversion — the standard well-posing of the
+    # coarse problem when the fine operator is pure-Neumann (the constant
+    # is exactly A_c's null space because P is piecewise-constant)
     Acoarse = levels[-1]
     Ad = Acoarse.to_dense()
+    ncoarse = Ad.shape[0]
+    reg = max(coarse_reg, 100.0 * float(jnp.finfo(dtype).eps))
     scale = jnp.maximum(jnp.abs(Acoarse.diag).max(), 1e-300)
-    Ad = Ad + coarse_reg * scale * jnp.eye(Ad.shape[0], dtype=Ad.dtype)
+    Ad = Ad + reg * scale * jnp.eye(ncoarse, dtype=Ad.dtype)
+    if null_vec is not None:
+        # shift sign must match the operator's definiteness (the assembled
+        # Poisson is negative-definite), else the near-null modes invert
+        # with the wrong sign and the V-cycle pushes them the wrong way
+        sgn_op = jnp.where(jnp.sum(Acoarse.diag) < 0, -1.0, 1.0).astype(Ad.dtype)
+        Ad = Ad + sgn_op * (scale / ncoarse) * jnp.ones(
+            (ncoarse, ncoarse), dtype=Ad.dtype
+        )
     coarse_inv = jnp.linalg.inv(Ad)
 
     nh = None

@@ -410,6 +410,22 @@ def gmres_recycled(
             h = lax.psum(h, axis_name)
         return h
 
+    def reform(U):
+        """(U, C) with C = A U orthonormal for the CURRENT operator."""
+        C_raw = jax.vmap(A)(U)
+        Q, Rfac = jnp.linalg.qr(C_raw.T)
+        Rsafe = Rfac + jnp.diag(
+            jnp.where(jnp.abs(jnp.diag(Rfac)) > 1e-300, 0.0, 1.0).astype(dtype)
+        )
+        Unew = jax.scipy.linalg.solve_triangular(Rsafe.T, U, lower=True)
+        return Unew, Q.T
+
+    # The carried space satisfies C = A_prev U for the PREVIOUS step's
+    # matrix; re-form it against the current operator before deflating
+    # (Parks et al. 2006, GCRODR step 1) — without this the outer
+    # projection uses a stale relation and the first cycle can diverge.
+    U, C = reform(U)
+
     # outer projection onto the recycle space (no-op when U == 0)
     r = b - A(x)
     x = x + U.T @ cdot(C, r)
@@ -462,21 +478,21 @@ def gmres_recycled(
         U_new = jax.scipy.linalg.solve_triangular(Rsafe.T, U_new, lower=True)
         return x, U_new, C_new
 
-    def body(carry, _):
-        x, U, C, relres, it = carry
-        done = relres <= tol
+    def cond(carry):
+        x, U, C, relres, it, stalled = carry
+        return (relres > tol) & (it < max_restarts) & ~stalled
+
+    def body(carry):
+        x, U, C, relres, it, stalled = carry
         x2, U2, C2 = cycle(x, U, C)
         relres2 = _norm(b - A(x2), axis_name) / bnorm
-        x = jnp.where(done, x, x2)
-        U = jnp.where(done, U, U2)
-        C = jnp.where(done, C, C2)
-        relres = jnp.where(done, relres, relres2)
-        it = jnp.where(done, it, it + 1)
-        return (x, U, C, relres, it), None
+        stalled = relres2 > 0.9 * relres  # see gmres(): dtype floor / stall
+        return (x2, U2, C2, relres2, it + 1, stalled)
 
     r0rel = _norm(b - A(x), axis_name) / bnorm
-    (x, U, C, relres, it), _ = lax.scan(
-        body, (x, U, C, r0rel, jnp.asarray(0, jnp.int32)), None, length=max_restarts
+    x, U, C, relres, it, _ = lax.while_loop(
+        cond, body,
+        (x, U, C, r0rel, jnp.asarray(0, jnp.int32), jnp.asarray(False)),
     )
     return (
         KrylovResult(x=x, iters=it * m, relres=relres, converged=relres <= tol),

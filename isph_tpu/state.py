@@ -120,6 +120,11 @@ class ParticleState:
 
     # --- bookkeeping ---
     step: Optional[jax.Array] = None  # () int32 timestep counter (update->ntimestep)
+    # Krylov recycle space (RecycleSpace pytree) carried across steps when
+    # SolverConfig.recycle_k > 0 — the per-step Poisson systems vary slowly,
+    # so GCRO-DR amortizes Krylov work across solves (reference Belos
+    # "Recycling Gmres", solver_lin_belos.h:233)
+    solver_cache: Optional[object] = None
 
     @property
     def n(self) -> int:
