@@ -176,9 +176,25 @@ class NeighborConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class MLSConfig:
+    """MLS discretization knobs (reference mls-src/pair_isph_mls.cpp:232-283:
+    basis order, interpolation-property option; BDF order for the ALE
+    velocity-correction scheme, time_bdf.h)."""
+
+    basis_order: int = 2
+    bdf_order: int = 2
+    interpolation: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
 class SimulationConfig:
     """Top-level config (reference "Implicit SPH Top-Level Parameters")."""
 
+    # discretization backend: "corrected" = corrected-kernel SPH projection
+    # scheme (PairISPH_Corrected); "mls_ale" = moving-least-squares spatial
+    # operators with the ALE velocity-correction scheme (PairISPH_MLS,
+    # mls-src/pair_isph_mls.cpp:553-827)
+    backend: str = "corrected"
     dim: int = 2
     h: float = 0.1  # smoothing length (pair_coeff arg)
     dt: float = 1.0e-3
@@ -194,6 +210,7 @@ class SimulationConfig:
     solver: SolverConfig = SolverConfig()
     newton: NewtonConfig = NewtonConfig()
     neighbor: NeighborConfig = NeighborConfig()
+    mls: MLSConfig = MLSConfig()
 
     @property
     def cut(self) -> float:

@@ -763,6 +763,61 @@ def make_shift_test(
 # registry (reference deck name -> builder)
 # ---------------------------------------------------------------------------
 
+
+def make_flow_past_cylinder(
+    n: int = 48,
+    *,
+    rcyl: float = 0.1,
+    g: float = 0.5,  # body-force drive (re-entrant periodic array of cylinders)
+    nu: float = 0.05,
+    basis_order: int = 2,
+    bdf_order: int = 2,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+) -> Tuple[Simulation, ParticleState]:
+    """Flow past a (periodic array of) cylinder(s) on the MLS/ALE backend —
+    the reference's flagship MLS problem (mls-script deck with the drag/lift
+    status compute, mls-src/compute_isph_status_flow_past_cylinder.cpp:1-231,
+    scheme mls-src/pair_isph_mls.cpp:553-700).
+
+    Periodic box [0,1]^2, solid disk of radius ``rcyl`` at the center, flow
+    driven by a body force along +x.  Drag/lift via
+    :func:`isph_tpu.physics.diagnostics.drag_lift` over the solid mask.
+    """
+    from isph_tpu.config import MLSConfig
+
+    L = 1.0
+    dx = L / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    pts = _square_lattice([0.0, 0.0], [L, L], dx, 2)
+    n_real = pts.shape[0]
+    rsq = ((pts - 0.5) ** 2).sum(1)
+    kind = np.where(rsq < rcyl**2, Kind.SOLID, Kind.FLUID_BIT).astype(np.int32)
+
+    state = make_state(
+        pts, kind=kind, rho=1.0, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    umax_est = max(g * (L / 4) ** 2 / max(nu, 1e-9), 1e-3)
+    dt = 0.25 * h / umax_est
+
+    cfg = SimulationConfig(
+        backend="mls_ale",
+        dim=2, h=h, dt=dt, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(
+            theta=0.5, singular_poisson=SingularPoisson.NULL_SPACE,
+            g=(g, 0.0, 0.0),
+        ),
+        mls=MLSConfig(basis_order=basis_order, bdf_order=bdf_order),
+        neighbor=_neighbor_cfg(dx, cut, 2, max_neighbors),
+    )
+    domain = Domain(lo=(0.0, 0.0), hi=(L, L), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain), state
+
+
 DECKS: Dict[str, Callable] = {
     # verification flows
     "taylor-green-vortex-2d": tgv_mod.make_tgv,
@@ -797,6 +852,8 @@ DECKS: Dict[str, Callable] = {
     "square-concentration-fix-2d": make_square_concentration,
     # polymers
     "isph-micelle": make_micelle,
+    # MLS / ALE backend
+    "flow-past-cylinder-2d-mls": make_flow_past_cylinder,
 }
 
 

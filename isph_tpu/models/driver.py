@@ -83,6 +83,18 @@ class Simulation:
     def precompute(self, state: ParticleState, geom: PairGeom) -> Precomputed:
         return ns_projection.compute_pre(state, geom, self.cfg)
 
+    # -- backend prep --------------------------------------------------------
+    def prepare(self, state: ParticleState) -> ParticleState:
+        """Initialize backend-carried history (BDF slots for MLS/ALE; the
+        recycle space initializes lazily inside the step)."""
+        if self.cfg.backend == "mls_ale" and state.ale_hist is None:
+            from isph_tpu.physics import ale
+
+            state = state.replace(
+                ale_hist=ale.ALEHistory.init(state, self.cfg.mls.bdf_order, self.cfg.dt)
+            )
+        return state
+
     # -- one full timestep -------------------------------------------------
     def step(
         self, state: ParticleState, *, axis_name: Optional[str] = None
@@ -91,8 +103,14 @@ class Simulation:
         (PairISPH::compute, pair_isph.cpp:1241-1380): pre-computation, then
         applied E-field -> Poisson-Boltzmann (+ electrostatic force) ->
         solute transport -> random stress -> surface tension -> NS projection
-        -> advance -> shifting."""
+        -> advance -> shifting.
+
+        The "mls_ale" backend follows the ALE dispatch instead
+        (initial-integrate advance -> re-neighbor -> predict/Poisson/correct/
+        Helmholtz, pair_isph.cpp:1073-1170)."""
         cfg = self.cfg
+        if cfg.backend == "mls_ale":
+            return self._step_mls_ale(state, axis_name=axis_name)
 
         if self.modifier is not None:
             t_now = (state.step.astype(state.dtype) if state.step is not None
@@ -190,6 +208,56 @@ class Simulation:
         )
         return state, aux
 
+    def _step_mls_ale(
+        self, state: ParticleState, *, axis_name: Optional[str] = None
+    ) -> Tuple[ParticleState, StepAux]:
+        """MLS backend with the ALE velocity-correction scheme (reference
+        PairISPH_MLS::advanceTime + computeAleIncompressibleNavierStokes,
+        mls-src/pair_isph_mls.cpp:553-827): the particle move happens at
+        initial-integrate (BDF-extrapolated velocity), THEN the neighbor
+        rebuild and the predict/Poisson/correct/Helmholtz solves."""
+        from isph_tpu.physics import ale
+
+        cfg = self.cfg
+        hist = state.ale_hist
+        assert hist is not None, "call Simulation.prepare(state) for the ALE backend"
+
+        if self.modifier is not None:
+            t_now = (state.step.astype(state.dtype) if state.step is not None
+                     else jnp.asarray(0.0, state.dtype)) * cfg.dt
+            state = self.modifier(state, t_now)
+
+        state, hist = ale.ale_advance(state, hist, cfg, self.domain,
+                                      cfg.mls.bdf_order)
+        nbrs = self.neighbors(state)
+        geom = self.geometry(state, nbrs)
+        pre = self.precompute(state, geom)
+
+        state = state.replace(f=jnp.zeros_like(state.v))
+        if self.extra_force is not None:
+            state = state.replace(f=self.extra_force(state, self.domain))
+
+        state, info = ale.ale_navier_stokes_step(
+            state, geom, pre, hist, cfg, self.domain,
+            order=cfg.mls.bdf_order, basis_order=cfg.mls.basis_order,
+            axis_name=axis_name,
+        )
+        state = state.replace(ale_hist=hist)
+
+        if state.step is not None:
+            state = state.replace(step=state.step + 1)
+        time = (state.step.astype(state.dtype) if state.step is not None else 0.0) * cfg.dt
+        status = compute_status(state, pre.vfrac, time, axis_name=axis_name)
+        aux = StepAux(
+            status=status,
+            helmholtz_iters=info.helmholtz.iters.sum(),
+            helmholtz_relres=info.helmholtz.relres.max(),
+            poisson_iters=info.poisson.iters,
+            poisson_relres=info.poisson.relres,
+            neighbor_overflow=nbrs.overflow,
+        )
+        return state, aux
+
     def step_fn(self, *, axis_name: Optional[str] = None):
         """jit-ready closure."""
         return partial(self.step, axis_name=axis_name)
@@ -221,6 +289,7 @@ class Simulation:
         DISCARDED and retried with grown neighbor shapes (larger K / cell
         capacity / plan widths) — pairs are never silently dropped."""
         sim = self
+        state = sim.prepare(state)
         step = jax.jit(sim.step_fn())
         aux = None
         done = 0
@@ -242,6 +311,7 @@ class Simulation:
         FixISPH_Quit condition stop (fix_isph_quit.cpp).  Applies the same
         neighbor-overflow regrow policy as :meth:`run`."""
         sim = self
+        state = sim.prepare(state)
         step = jax.jit(sim.step_fn())
         aux = None
         done = 0

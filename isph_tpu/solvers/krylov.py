@@ -245,12 +245,14 @@ def gmres(
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
         H = jnp.zeros((m + 1, m), dtype)
-        cs = jnp.zeros((m,), dtype)
-        sn = jnp.zeros((m,), dtype)
-        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        # accumulated Givens rotations as ONE (m+1, m+1) matrix: applying all
+        # past rotations to a new column is a tiny MXU matmul instead of a
+        # sequential fori_loop of scalar 2x2 updates (each tiny loop step has
+        # fixed TPU overhead comparable to a whole matvec at j ~ restart)
+        Q = jnp.eye(m + 1, dtype=dtype)
 
         def arnoldi(j, carry):
-            V, H, cs, sn, g, done = carry
+            V, H, Q, done = carry
             w = A(M(V[j]))
             # two-pass classical Gram-Schmidt (DGKS)
             h1 = V @ w
@@ -268,48 +270,39 @@ def gmres(
             h = h.at[j + 1].set(hw)
             V_new = V.at[j + 1].set(w / jnp.maximum(hw, 1e-300))
 
-            # apply accumulated Givens rotations to the new column
-            def apply_rot(i, hcol):
-                hi = cs[i] * hcol[i] + sn[i] * hcol[i + 1]
-                hip = -sn[i] * hcol[i] + cs[i] * hcol[i + 1]
-                return hcol.at[i].set(hi).at[i + 1].set(hip)
-
-            hcol = lax.fori_loop(0, j, apply_rot, h)
+            hcol = Q @ h  # all accumulated rotations at once
             denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
             c = jnp.where(denom > 0, hcol[j] / jnp.maximum(denom, 1e-300), 1.0)
             s = jnp.where(denom > 0, hcol[j + 1] / jnp.maximum(denom, 1e-300), 0.0)
+            rj, rj1 = Q[j], Q[j + 1]
+            Q_new = Q.at[j].set(c * rj + s * rj1).at[j + 1].set(-s * rj + c * rj1)
             hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1]).at[j + 1].set(0.0)
-            g_j = c * g[j]
-            g_jp = -s * g[j]
-            g_new = g.at[j].set(g_j).at[j + 1].set(g_jp)
-            cs_new = cs.at[j].set(c)
-            sn_new = sn.at[j].set(s)
             H_new = H.at[:, j].set(hcol)
 
+            # running residual |g_{j+1}| = beta |Q_new[j+1, 0]|
+            conv = beta * jnp.abs(Q_new[j + 1, 0]) / bnorm <= tol
             # freeze updates once converged (keeps shapes static)
-            conv = jnp.abs(g_jp) / bnorm <= tol
             V = jnp.where(done, V, V_new)
             H = jnp.where(done, H, H_new)
-            cs = jnp.where(done, cs, cs_new)
-            sn = jnp.where(done, sn, sn_new)
-            g = jnp.where(done, g, g_new)
-            return V, H, cs, sn, g, done | conv
+            Q = jnp.where(done, Q, Q_new)
+            return V, H, Q, done | conv
 
         def wcond(carry):
-            V, H, cs, sn, g, done, j = carry
+            V, H, Q, done, j = carry
             return (~done) & (j < m)
 
         def wbody(carry):
-            V, H, cs, sn, g, done, j = carry
-            V, H, cs, sn, g, done = lax.fori_loop(
-                0, block, lambda i, c: arnoldi(j + i, c), (V, H, cs, sn, g, done)
+            V, H, Q, done, j = carry
+            V, H, Q, done = lax.fori_loop(
+                0, block, lambda i, c: arnoldi(j + i, c), (V, H, Q, done)
             )
-            return V, H, cs, sn, g, done, j + block
+            return V, H, Q, done, j + block
 
-        V, H, cs, sn, g, done, jdone = lax.while_loop(
+        V, H, Q, done, jdone = lax.while_loop(
             wcond, wbody,
-            (V, H, cs, sn, g, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+            (V, H, Q, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
         )
+        g = beta * Q[:, 0]
 
         # back substitution on the triangularized H (guard zero diagonal of
         # frozen/converged columns with identity)

@@ -125,6 +125,9 @@ class ParticleState:
     # so GCRO-DR amortizes Krylov work across solves (reference Belos
     # "Recycling Gmres", solver_lin_belos.h:233)
     solver_cache: Optional[object] = None
+    # BDF histories (physics.ale.ALEHistory pytree) for the MLS/ALE backend;
+    # initialized by Simulation.prepare (reference atom->vprev/xprev)
+    ale_hist: Optional[object] = None
 
     @property
     def n(self) -> int:
