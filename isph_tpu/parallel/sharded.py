@@ -408,7 +408,12 @@ class ShardedSimulation:
     # ------------------------------------------------------------------
     def _dist_solve(self, cfg, A, b, x0, comm: _Comm, *, null_vec=None):
         """Owned-masked Krylov solve whose matvec imports halo columns
-        before the local ELL apply (Epetra Import-in-Multiply parity)."""
+        before the local ELL apply (Epetra Import-in-Multiply parity).
+
+        Dispatches on SolverConfig.method like the single-device path; the
+        preconditioner is Jacobi regardless of ``sc.precond`` (the AMG
+        hierarchy is built single-device only — distributed coarse levels
+        would need the Zoltan-repartition analogue, VERDICT §8-missing)."""
         sc = cfg.solver
         tol = max(sc.tol, 30.0 * float(jnp.finfo(b.dtype).eps))
 
@@ -420,6 +425,16 @@ class ShardedSimulation:
         def M(r):
             return r / diag_safe * comm.ownedf
 
+        if sc.method == "cg":
+            from isph_tpu.solvers.krylov import cg
+
+            return cg(mv, b, x0, M=M, tol=tol, maxiter=sc.max_iters,
+                      null_vec=null_vec, axis_name=comm.axis)
+        if sc.method == "pipelined_cg":
+            from isph_tpu.solvers.krylov import pipelined_cg
+
+            return pipelined_cg(mv, b, x0, M=M, tol=tol, maxiter=sc.max_iters,
+                                null_vec=null_vec, axis_name=comm.axis)
         return gmres(
             mv, b, x0, M=M, tol=tol, restart=sc.restart,
             max_restarts=sc.max_restarts, null_vec=null_vec,
@@ -510,10 +525,10 @@ class ShardedSimulation:
         """Build the sharded step closure for a given (already partitioned,
         see :func:`partition_state`) state structure.  All per-step aux
         scalars are replicated (their reductions psum over the mesh)."""
+        from isph_tpu.parallel.mesh import particle_sharding_spec
+
         specs = jax.tree.map(
-            lambda leaf: P() if leaf.ndim == 0
-            else P(*([None] * (leaf.ndim - 1) + [self.axis])),
-            state,
+            lambda leaf: particle_sharding_spec(leaf, self.axis), state
         )
 
         def run(st):

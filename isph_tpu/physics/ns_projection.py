@@ -285,8 +285,11 @@ def solve_poisson(
     state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig,
     vstar: jax.Array, *, domain: Optional[Domain] = None, axis_name=None,
     recycle=None,
-) -> Tuple[jax.Array, KrylovResult]:
+) -> Tuple[jax.Array, KrylovResult, Optional[object]]:
     """Solve the pressure Poisson system.
+
+    Always returns ``(dp, result, recycle_out)``; ``recycle_out`` is None
+    unless a RecycleSpace was passed in (GCRO-DR path).
 
     With homogeneous-Neumann walls the assembled system is BLOCK TRIANGULAR:
     fluid rows touch only fluid columns (filter (F,F)), and the wall-normal
@@ -330,11 +333,11 @@ def solve_poisson(
         wallf = wall.astype(dtype)
         for _ in range(20):
             dp = dp + wallf * dinv * (b - A.matvec(dp))
-        return (dp, res) if recycle is None else (dp, res, recycle)
+        return dp, res, recycle
 
     res, recycle = _solve(cfg, A, b, x0, null_vec=null_vec, axis_name=axis_name,
                           amg=amg, recycle=recycle)
-    return (res.x, res) if recycle is None else (res.x, res, recycle)
+    return res.x, res, recycle
 
 
 def zero_mean_pressure(p: jax.Array, state: ParticleState, *, axis_name=None) -> jax.Array:
@@ -438,8 +441,8 @@ def navier_stokes_step(
                                        recycle=rec)
         state = state.replace(solver_cache=rec)
     else:
-        dp, pinfo = solve_poisson(state, geom, pre, cfg, vstar, domain=domain,
-                                  axis_name=axis_name)
+        dp, pinfo, _ = solve_poisson(state, geom, pre, cfg, vstar, domain=domain,
+                                     axis_name=axis_name)
     if cfg.ns.use_incremental_pressure:
         dp = zero_mean_pressure(dp, state, axis_name=axis_name)
     vstar = correct_velocity(state, geom, pre, cfg, vstar, dp)

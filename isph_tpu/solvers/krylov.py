@@ -314,27 +314,30 @@ def gmres(
         x = x + M(V[:m].T @ y)
         return x, jdone
 
-    # Outer restart loop with STAGNATION exit: when a full cycle fails to cut
-    # the true residual by at least 10%, further restarts are provably wasted
-    # (classic restarted-GMRES stall, or the dtype's accuracy floor — in f32
-    # the Belos default 1e-8 is unreachable and every solve would otherwise
-    # burn all max_restarts cycles at the ~1e-6 floor).
+    # Outer restart loop with STAGNATION exit: when TWO consecutive full
+    # cycles each fail to cut the true residual by at least 10%, further
+    # restarts are provably wasted (classic restarted-GMRES stall, or the
+    # dtype's accuracy floor — in f32 the Belos default 1e-8 is unreachable
+    # and every solve would otherwise burn all max_restarts cycles at the
+    # ~1e-6 floor).  Two cycles, not one: slow-but-steady convergence with a
+    # per-cycle factor in (0.9, 1.0) is common for Jacobi-preconditioned
+    # Poisson and a single-cycle exit would silently degrade the pressure.
     def cond(carry):
-        x, it, iters, relres, stalled = carry
-        return (relres > tol) & (it < max_restarts) & ~stalled
+        x, it, iters, relres, stalls = carry
+        return (relres > tol) & (it < max_restarts) & (stalls < 2)
 
     def body(carry):
-        x, it, iters, relres, stalled = carry
+        x, it, iters, relres, stalls = carry
         x, j = cycle(x)
         relres_new = _norm(b - A(x), axis_name) / bnorm
-        stalled = relres_new > 0.9 * relres
-        return (x, it + 1, iters + j, relres_new, stalled)
+        stalls = jnp.where(relres_new > 0.9 * relres, stalls + 1, 0)
+        return (x, it + 1, iters + j, relres_new, stalls)
 
     r0 = _norm(b - A(x), axis_name) / bnorm
     x, it, iters, relres, _ = lax.while_loop(
         cond, body,
         (x, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), r0,
-         jnp.asarray(False)),
+         jnp.asarray(0, jnp.int32)),
     )
     return KrylovResult(x=x, iters=iters, relres=relres, converged=relres <= tol)
 
@@ -403,15 +406,35 @@ def gmres_recycled(
             h = lax.psum(h, axis_name)
         return h
 
-    def reform(U):
-        """(U, C) with C = A U orthonormal for the CURRENT operator."""
-        C_raw = jax.vmap(A)(U)
-        Q, Rfac = jnp.linalg.qr(C_raw.T)
-        Rsafe = Rfac + jnp.diag(
-            jnp.where(jnp.abs(jnp.diag(Rfac)) > 1e-300, 0.0, 1.0).astype(dtype)
-        )
-        Unew = jax.scipy.linalg.solve_triangular(Rsafe.T, U, lower=True)
-        return Unew, Q.T
+    def reform(U_in):
+        """(U, C) with C = A U orthonormal for the CURRENT operator.
+
+        Gram-Cholesky instead of a tall QR so the SAME code is correct when
+        the long axis is sharded (QR of a row-sharded matrix inside shard_map
+        would factor each shard independently); the k x k Gram matrix rides
+        one psum.  Rows whose image under A is ~zero — the unpopulated slots
+        of init_recycle, or accidental null-space hits — are masked to exact
+        zeros: a factorization of the zero Gram matrix would fabricate
+        arbitrary orthonormal directions and deflate the residual against
+        them with no compensating solution update (x += U^T(...) = 0).
+        """
+        C_raw = jax.vmap(A)(U_in)
+        G = C_raw @ C_raw.T
+        if axis_name is not None:
+            G = lax.psum(G, axis_name)
+        d = jnp.diag(G)
+        dmax = jnp.maximum(jnp.max(d), jnp.asarray(0.0, dtype))
+        eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+        live = d > 32.0 * eps * jnp.maximum(dmax, 1e-300)
+        lf = live.astype(dtype)
+        # dead rows -> identity rows of G (Cholesky stays defined); a small
+        # relative ridge guards near-rank-deficient live blocks
+        G = G * (lf[:, None] * lf[None, :]) + jnp.diag(1.0 - lf)
+        G = G + jnp.diag(32.0 * eps * jnp.maximum(dmax, 1e-300) * lf)
+        L = jnp.linalg.cholesky(G)
+        C_new = jax.scipy.linalg.solve_triangular(L, C_raw, lower=True)
+        U_new = jax.scipy.linalg.solve_triangular(L, U_in, lower=True)
+        return U_new * lf[:, None], C_new * lf[:, None]
 
     # The carried space satisfies C = A_prev U for the PREVIOUS step's
     # matrix; re-form it against the current operator before deflating
@@ -462,30 +485,27 @@ def gmres_recycled(
         _, S, Wt = jnp.linalg.svd(H[:m, :], full_matrices=False)
         Pk = Wt[-k:, :]                       # (k, m) smallest right sing. vecs
         U_new = Pk @ (jax.vmap(M)(V[:m]) if M is not None else V[:m])
-        # C_new = A U_new, orthonormalized by QR (rows)
-        C_raw = jax.vmap(A)(U_new)
-        Q, Rfac = jnp.linalg.qr(C_raw.T)       # C_raw^T = Q R, so C_raw = R^T Q^T
-        C_new = Q.T
-        # A U_raw = C_raw = R^T C_new  =>  A (R^{-T} U_raw) = C_new
-        Rsafe = Rfac + jnp.diag(jnp.where(jnp.abs(jnp.diag(Rfac)) > 1e-300, 0.0, 1.0).astype(dtype))
-        U_new = jax.scipy.linalg.solve_triangular(Rsafe.T, U_new, lower=True)
+        # C_new = A U_new orthonormal (distributed-safe Gram-Cholesky with
+        # dead-row masking, see reform)
+        U_new, C_new = reform(U_new)
         return x, U_new, C_new
 
     def cond(carry):
-        x, U, C, relres, it, stalled = carry
-        return (relres > tol) & (it < max_restarts) & ~stalled
+        x, U, C, relres, it, stalls = carry
+        return (relres > tol) & (it < max_restarts) & (stalls < 2)
 
     def body(carry):
-        x, U, C, relres, it, stalled = carry
+        x, U, C, relres, it, stalls = carry
         x2, U2, C2 = cycle(x, U, C)
         relres2 = _norm(b - A(x2), axis_name) / bnorm
-        stalled = relres2 > 0.9 * relres  # see gmres(): dtype floor / stall
-        return (x2, U2, C2, relres2, it + 1, stalled)
+        # see gmres(): 2 consecutive <10%-reduction cycles = dtype floor/stall
+        stalls = jnp.where(relres2 > 0.9 * relres, stalls + 1, 0)
+        return (x2, U2, C2, relres2, it + 1, stalls)
 
     r0rel = _norm(b - A(x), axis_name) / bnorm
     x, U, C, relres, it, _ = lax.while_loop(
         cond, body,
-        (x, U, C, r0rel, jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+        (x, U, C, r0rel, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
     )
     return (
         KrylovResult(x=x, iters=it * m, relres=relres, converged=relres <= tol),
