@@ -16,8 +16,10 @@ Design:
 LAYOUT RULE: all pair arrays are particle-minor — (K, N), (C, N), (D, K, N) —
 so TPU (8, 128) tiling pads nothing (see state.py docstring).
 
-Padding convention: invalid slots store the row's own index i with mask 0, so
-gathers never go out of bounds and masked contributions vanish.
+Padding convention: invalid slots repeat the row's last valid neighbor index
+(the row's own index i when it has no neighbors) with mask 0, so gathers never
+go out of bounds, masked contributions vanish, and the pallas gather plan's
+per-group chunk windows stay tight (ops/spmv_pallas.py).
 """
 
 from __future__ import annotations
@@ -39,7 +41,8 @@ from isph_tpu.ops.spmv_pallas import GatherPlan, make_gather_plan
 @dataclasses.dataclass
 class NeighborList:
     """(K, N) padded neighbor list. idx[k,i] is a neighbor j of i (j != i,
-    r_ij < cutoff), or i itself when mask[k,i]==0."""
+    r_ij < cutoff); slots with mask[k,i]==0 repeat the row's last valid
+    neighbor (or i itself for isolated rows)."""
 
     idx: jax.Array  # (K, N) int32
     mask: jax.Array  # (K, N) bool
@@ -204,9 +207,18 @@ def build_neighbor_list(
     perm = jnp.argsort(sort_key, axis=0)[:K]
     idx = jnp.take_along_axis(cand_clipped, perm, axis=0)
     mask = jnp.take_along_axis(good, perm, axis=0)
-    idx = jnp.where(mask, idx, i_idx)
 
     count = good.sum(axis=0).astype(jnp.int32)
+    # Masked slots repeat the row's LAST VALID neighbor (fallback: the row
+    # itself when it has none).  Self-padding put the row's OWN 128-chunk in
+    # every slot-group's gather window; the last valid neighbor's chunk is
+    # already in the high-rank groups' windows (slots are column-sorted), so
+    # this tightens the pallas plan unions ~30% (every operator multiplies by
+    # mask, so the padded value never contributes).
+    lastk = jnp.clip(count - 1, 0, K - 1)
+    lastv = jnp.take_along_axis(idx, lastk[None, :], axis=0)[0]
+    pad = jnp.where(count > 0, lastv, i_idx[0])
+    idx = jnp.where(mask, idx, pad[None, :])
     overflow = jnp.maximum(count.max() - K, 0) + cell_overflow
     plan = None
     if gather_chunks is not None:

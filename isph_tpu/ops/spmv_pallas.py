@@ -58,29 +58,35 @@ _PAD_START = -CHUNK  # sentinel chunk start: never matches any index
 class GatherPlan:
     """Per-(slot-group, row-tile) chunk lists for windowed gathers.
 
-    ``chunks[t, g, c]`` is the 128-aligned start of the c-th chunk of columns
-    referenced by slots [8g, 8g+8) of rows [128t, 128(t+1)); dead slots hold
-    -128.  ``counts[t, g]`` is the live chunk count.  ``mc`` (STATIC) is the
-    per-group-rank unroll width: the kernel sweeps only mc[g] plan slots for
-    rank g — sorted slots give low ranks/high ranks systematically different
-    chunk spreads, so per-rank widths cut dead passes vs one uniform width.
-    ``overflow`` > 0 means some group needed more than its rank's width; the
-    pallas path would drop entries — the caller must rebuild with larger
-    widths (detect like neighbor overflow).
+    ``scid[t, g, c]`` is the chunk ID (column//128) of the c-th chunk of
+    columns referenced by slots [8g, 8g+8) of rows [128t, 128(t+1)); dead
+    slots hold -1 (never matches a real chunk id).  ``cstart[t, g, c]`` is
+    the same chunk's 128-aligned lane start, CLAMPED to 0 on dead slots so
+    the kernel's dynamic-slice address needs no per-pass max/shift scalar
+    ops (the all-false select discards the loaded data).  ``counts[t, g]``
+    is the live chunk count.  ``mc`` (STATIC) is the per-group-rank unroll
+    width: the kernel sweeps only mc[g] plan slots for rank g — sorted slots
+    give low ranks/high ranks systematically different chunk spreads, so
+    per-rank widths cut dead passes vs one uniform width.  ``overflow`` > 0
+    means some group needed more than its rank's width; the pallas path
+    would drop entries — the caller must rebuild with larger widths (detect
+    like neighbor overflow).
     """
 
-    chunks: jax.Array  # (ntiles, ngroups, max(mc)) int32
+    scid: jax.Array  # (ntiles, ngroups, max(mc)) int32, sentinel -1
+    cstart: jax.Array  # (ntiles, ngroups, max(mc)) int32, clamped >= 0
     counts: jax.Array  # (ntiles, ngroups) int32
     overflow: jax.Array  # () int32
     mc: tuple = ()  # static per-rank unroll widths (len = ngroups)
 
     @property
     def max_chunks(self) -> int:
-        return self.chunks.shape[2]
+        return self.scid.shape[2]
 
 
 jax.tree_util.register_dataclass(
-    GatherPlan, data_fields=["chunks", "counts", "overflow"], meta_fields=["mc"]
+    GatherPlan, data_fields=["scid", "cstart", "counts", "overflow"],
+    meta_fields=["mc"],
 )
 
 
@@ -89,9 +95,10 @@ def make_gather_plan(idx: jax.Array, max_chunks) -> GatherPlan:
 
     ``max_chunks``: one int (uniform) or a tuple of per-group-rank widths
     (len K//8).  Requires slots sorted by column per row (ops.neighbors
-    compaction does this) for locality, though correctness only needs masked
-    slots to self-reference (they do: build_neighbor_list sets idx = i for
-    masked slots), so every listed chunk is genuinely needed.
+    compaction does this) for locality; masked slots may hold any in-range
+    index (build_neighbor_list repeats the last valid neighbor so they add
+    no extra chunks) — the plan is built from the padded idx, so every
+    listed chunk covers every slot by construction.
     """
     K, n = idx.shape
     assert n % CHUNK == 0, f"particle count {n} not a multiple of {CHUNK}"
@@ -120,44 +127,47 @@ def make_gather_plan(idx: jax.Array, max_chunks) -> GatherPlan:
     order = jnp.argsort(~first, axis=1, stable=True)[:, :max_chunks]
     uniq = jnp.take_along_axis(srt, order, axis=1)
     uniq_valid = jnp.take_along_axis(first, order, axis=1)
-    starts = jnp.where(uniq_valid, uniq * CHUNK, _PAD_START).astype(jnp.int32)
+    scid = jnp.where(uniq_valid, uniq, -1).astype(jnp.int32)
+    cstart = jnp.where(uniq_valid, uniq * CHUNK, 0).astype(jnp.int32)
     nuniq2 = nuniq.reshape(ntiles, ngroups)
     mc_arr = jnp.asarray(mc, jnp.int32)[None, :]
     overflow = jnp.maximum(nuniq2 - mc_arr, 0).max().astype(jnp.int32)
     return GatherPlan(
-        chunks=starts.reshape(ntiles, ngroups, max_chunks),
+        scid=scid.reshape(ntiles, ngroups, max_chunks),
+        cstart=cstart.reshape(ntiles, ngroups, max_chunks),
         counts=jnp.minimum(nuniq2, mc_arr),
         overflow=overflow,
         mc=mc,
     )
 
 
-def _group_gather(x8_ref, idx_g, gidx, chunks_ref, ncomp, mc_g, max_chunks):
+def _group_gather(x8_ref, idx_g, gidx, scid_ref, cstart_ref, ncomp, mc_g,
+                  max_chunks):
     """Gather x[c][idx_g] for all components c via the (C*8, N) broadcast
     scratch (each component's vector replicated across 8 sublanes, so every
     pass is a direct (8, 128) load + lane permute — no per-pass broadcast).
 
     idx_g: (GROUP, CHUNK) int32.  ``gidx`` is the flat (tile, group) index
-    into the 1-D plan array (SMEM prefetch operands pad their minor dimension
-    to 128 lanes, so the plan is passed flattened).  Returns a tuple of ncomp
-    (GROUP, CHUNK) arrays (zeros where no chunk matched — only possible on
-    plan overflow).
+    into the 1-D plan arrays (SMEM prefetch operands pad their minor
+    dimension to 128 lanes, so the plan is passed flattened).  Returns a
+    tuple of ncomp (GROUP, CHUNK) arrays (zeros where no chunk matched —
+    only possible on plan overflow).
     """
-    # STATIC unroll over max_chunks: dead plan slots (sentinel start=-128)
+    # STATIC unroll over max_chunks: dead plan slots (scid sentinel -1)
     # produce an all-false select and cost one wasted pass, but the absence of
     # data-dependent control flow lets Mosaic software-pipeline the whole
     # chunk sweep (a dynamic fori_loop over the live count measured ~7x
-    # slower: every iteration serialized on the scalar unit).
+    # slower: every iteration serialized on the scalar unit).  scid/cstart
+    # are PRE-SPLIT in the plan so each pass costs zero scalar ALU beyond the
+    # two SMEM reads (the fused shift+clamp variant measured ~8% slower).
     accs = [jnp.zeros(idx_g.shape, x8_ref.dtype) for _ in range(ncomp)]
     lidx = idx_g & (CHUNK - 1)  # chunk-local lane: shared by every pass
     cid = idx_g >> 7  # chunk id per element: shared by every pass
     for c in range(mc_g):
-        start = chunks_ref[gidx * max_chunks + c]
-        # membership as ONE vector compare against the scalar chunk id
-        sel = cid == (start >> 7)
-        safe = pl.multiple_of(jnp.maximum(start, 0), CHUNK)
+        sel = cid == scid_ref[gidx * max_chunks + c]
+        start = pl.multiple_of(cstart_ref[gidx * max_chunks + c], CHUNK)
         for comp in range(ncomp):
-            xb = x8_ref[comp * GROUP:(comp + 1) * GROUP, pl.ds(safe, CHUNK)]
+            xb = x8_ref[comp * GROUP:(comp + 1) * GROUP, pl.ds(start, CHUNK)]
             gv = jnp.take_along_axis(xb, lidx, axis=1)
             accs[comp] = jnp.where(sel, gv, accs[comp])
     return tuple(accs)
@@ -177,7 +187,7 @@ def _fill_x8(step, x_ref, x8_ref, ncomp):
 
 
 def _spmv_kernel(
-    chunks_ref, diag_ref, vals_ref, idx_ref, x_ref, y_ref, x8_ref,
+    scid_ref, cstart_ref, diag_ref, vals_ref, idx_ref, x_ref, y_ref, x8_ref,
     *, ngroups, ncomp, mc, subtiles,
 ):
     # each grid step covers `subtiles` 128-row tiles: the (K, subtiles*128)
@@ -196,7 +206,8 @@ def _spmv_kernel(
             idx_g = idx_ref[sl, lanes]
             vals_g = vals_ref[sl, lanes]
             gv = _group_gather(
-                x8_ref, idx_g, t * ngroups + g, chunks_ref, ncomp, mc[g], max(mc)
+                x8_ref, idx_g, t * ngroups + g, scid_ref, cstart_ref,
+                ncomp, mc[g], max(mc),
             )
             for comp in range(ncomp):
                 p = vals_g * gv[comp]
@@ -210,7 +221,7 @@ def _spmv_kernel(
 
 
 def _take_kernel(
-    chunks_ref, idx_ref, x_ref, out_ref, x8_ref,
+    scid_ref, cstart_ref, idx_ref, x_ref, out_ref, x8_ref,
     *, ngroups, ncomp, mc, subtiles,
 ):
     step = pl.program_id(0)
@@ -222,7 +233,8 @@ def _take_kernel(
             sl = slice(g * GROUP, (g + 1) * GROUP)
             idx_g = idx_ref[sl, lanes]
             gv = _group_gather(
-                x8_ref, idx_g, t * ngroups + g, chunks_ref, ncomp, mc[g], max(mc)
+                x8_ref, idx_g, t * ngroups + g, scid_ref, cstart_ref,
+                ncomp, mc[g], max(mc),
             )
             for comp in range(ncomp):
                 out_ref[comp, sl, lanes] = gv[comp]
@@ -241,7 +253,7 @@ def _pick_subtiles(ntiles: int, cap: int = 16) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("mc",))
-def _spmv_call(chunks, diag, vals, idx, x, mc: tuple):
+def _spmv_call(scid, cstart, diag, vals, idx, x, mc: tuple):
     K, n = vals.shape
     ncomp = x.shape[0]
     ntiles = n // CHUNK
@@ -253,7 +265,7 @@ def _spmv_call(chunks, diag, vals, idx, x, mc: tuple):
             _spmv_kernel, ngroups=ngroups, ncomp=ncomp, mc=mc, subtiles=sub,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # chunks (flattened 1-D, see GatherPlan)
+            num_scalar_prefetch=2,  # scid, cstart (flattened 1-D, see GatherPlan)
             grid=(ntiles // sub,),
             in_specs=[
                 pl.BlockSpec((1, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
@@ -273,7 +285,7 @@ def _spmv_call(chunks, diag, vals, idx, x, mc: tuple):
             bytes_accessed=(vals.size + idx.size) * 4 + n * ncomp * 8,
             transcendentals=0,
         ),
-    )(chunks.reshape(-1), diag.reshape(1, n), vals, idx, x)
+    )(scid.reshape(-1), cstart.reshape(-1), diag.reshape(1, n), vals, idx, x)
     return y
 
 
@@ -281,7 +293,7 @@ def spmv(plan: GatherPlan, diag, vals_masked, idx, x):
     """y = diag * x + sum_k vals_masked[k] * x[idx[k]] via the pallas kernel.
 
     ``vals_masked`` must already include the mask (vals * mask); masked slots
-    of ``idx`` self-reference, so they stay within the plan's chunks.
+    of ``idx`` hold in-range padding covered by the plan's chunks.
     Supports (N,) vectors and (C, N) multivectors.  Components dispatch as
     separate kernel calls: a fused (C, N) layout puts components on sublanes
     of one (8, 128) tile and its single-sublane slices measured ~4x slower
@@ -292,14 +304,14 @@ def spmv(plan: GatherPlan, diag, vals_masked, idx, x):
             [spmv(plan, diag, vals_masked, idx, x[c]) for c in range(x.shape[0])]
         )
     y = _spmv_call(
-        plan.chunks, diag, vals_masked, idx.astype(jnp.int32),
+        plan.scid, plan.cstart, diag, vals_masked, idx.astype(jnp.int32),
         x.reshape(1, -1), plan.mc,
     )
     return y.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("mc",))
-def _take_call(chunks, idx, x, mc: tuple):
+def _take_call(scid, cstart, idx, x, mc: tuple):
     K, n = idx.shape
     ncomp = x.shape[0]
     ntiles = n // CHUNK
@@ -311,7 +323,7 @@ def _take_call(chunks, idx, x, mc: tuple):
             _take_kernel, ngroups=ngroups, ncomp=ncomp, mc=mc, subtiles=sub,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(ntiles // sub,),
             in_specs=[
                 pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
@@ -324,7 +336,7 @@ def _take_call(chunks, idx, x, mc: tuple):
         ),
         out_shape=jax.ShapeDtypeStruct((ncomp, K, n), x.dtype),
         interpret=_interpret(),
-    )(chunks.reshape(-1), idx.astype(jnp.int32), x)
+    )(scid.reshape(-1), cstart.reshape(-1), idx.astype(jnp.int32), x)
 
 
 def take(plan: GatherPlan, idx, x):
@@ -333,5 +345,5 @@ def take(plan: GatherPlan, idx, x):
     spmv on why a fused multi-component layout loses)."""
     if x.ndim == 2:
         return jnp.stack([take(plan, idx, x[c]) for c in range(x.shape[0])])
-    out = _take_call(plan.chunks, idx, x.reshape(1, -1), plan.mc)
+    out = _take_call(plan.scid, plan.cstart, idx, x.reshape(1, -1), plan.mc)
     return out[0]
