@@ -201,7 +201,7 @@ def droplet_anisotropy(state: ParticleState) -> jax.Array:
     mom = jnp.stack([(d[i] * d[j] * w).sum() for i in range(state.dim)
                      for j in range(state.dim)]).reshape(state.dim, state.dim)
     ev = jnp.linalg.eigvalsh(mom / w.sum())
-    return jnp.sqrt(ev[-1] / jnp.maximum(ev[0], 1e-300))
+    return jnp.sqrt(ev[-1] / jnp.maximum(ev[0], 1e-30))
 
 
 # ---------------------------------------------------------------------------

@@ -82,19 +82,19 @@ def henry_solution(x: jax.Array, center, *, eapp: float, a: float, sratio: float
     if dim > 2:
         lam = (1.0 - sratio) / (2.0 + sratio)
         a3 = a**3
-        r5 = jnp.maximum(r, 1e-300) ** 5
+        r5 = jnp.maximum(r, 1e-30) ** 5
         gx_out = eapp * (-1.0 + a3 * lam * (2 * dx[0] ** 2 - dx[1] ** 2 - dx[2] ** 2) / r5)
         gy_out = 3 * a3 * eapp * lam * dx[0] * dx[1] / r5
         gz_out = 3 * a3 * eapp * lam * dx[0] * dx[2] / r5
-        phi_out = -eapp * (1.0 + lam * (a / jnp.maximum(r, 1e-300)) ** 3) * dx[0]
+        phi_out = -eapp * (1.0 + lam * (a / jnp.maximum(r, 1e-30)) ** 3) * dx[0]
         grads_out = [gx_out, gy_out, gz_out]
     else:
         lam = (1.0 - sratio) / (1.0 + sratio)
         a2 = a**2
-        r4 = jnp.maximum(r, 1e-300) ** 4
+        r4 = jnp.maximum(r, 1e-30) ** 4
         gx_out = eapp * (-1.0 + a2 * lam * (dx[0] ** 2 - dx[1] ** 2) / r4)
         gy_out = 2 * a2 * eapp * lam * dx[0] * dx[1] / r4
-        phi_out = -eapp * (1.0 + lam * (a / jnp.maximum(r, 1e-300)) ** 2) * dx[0]
+        phi_out = -eapp * (1.0 + lam * (a / jnp.maximum(r, 1e-30)) ** 2) * dx[0]
         grads_out = [gx_out, gy_out]
 
     inside = r < a

@@ -158,7 +158,7 @@ def laplacian_correction(geom: PairGeom, vfrac: jax.Array, Gc: jax.Array) -> jax
         [
             jnp.stack(
                 [
-                    (C[q] * geom.eij[o] * geom.eij[p]).sum(axis=0) * scale[s]
+                    (C[q] * geom.eij[o] * geom.eij[p]).sum(axis=0) * float(scale[s])
                     for s, (o, p) in enumerate(idx_p)
                 ]
             )
@@ -204,7 +204,7 @@ def interface_normal(geom: PairGeom, vfrac: jax.Array, kind: jax.Array, Gc: jax.
     grad_c = jnp.stack([(gr[b] * coef).sum(axis=0) for b in range(dim)])  # (D, N)
 
     mag = jnp.sqrt(sum(grad_c[d] * grad_c[d] for d in range(dim)))
-    normal = jnp.where(mag[None, :] > 0.0, grad_c / jnp.maximum(mag, 1e-300)[None, :], 0.0)
+    normal = jnp.where(mag[None, :] > 0.0, grad_c / jnp.maximum(mag, 1e-30)[None, :], 0.0)
 
     same = (1.0 - cross) * geom.mask
     pnd = geom.w_self + (geom.w * same).sum(axis=0)

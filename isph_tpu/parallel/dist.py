@@ -149,7 +149,7 @@ def make_distributed_cg(
         r = b - mv(x)
         p = r
         rz = dot(r, r)
-        bnorm = jnp.sqrt(jnp.maximum(dot(b, b), 1e-300))
+        bnorm = jnp.sqrt(jnp.maximum(dot(b, b), 1e-30))
 
         def cond(c):
             x, r, p, rz, it = c

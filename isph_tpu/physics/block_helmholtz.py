@@ -43,7 +43,7 @@ def _row_average_normal(geom: PairGeom, normal: jax.Array) -> jax.Array:
         [normal[d] + (normal[d][geom.idx] * geom.mask).sum(axis=0) for d in range(dim)]
     )
     mag = jnp.sqrt(sum(acc[d] ** 2 for d in range(dim)))
-    return jnp.where(mag[None, :] > 0, acc / jnp.maximum(mag, 1e-300)[None, :], 0.0)
+    return jnp.where(mag[None, :] > 0, acc / jnp.maximum(mag, 1e-30)[None, :], 0.0)
 
 
 def _block_row_onehot(navg: jax.Array) -> jax.Array:

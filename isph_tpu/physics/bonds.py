@@ -35,7 +35,7 @@ def _bond_geometry(state: ParticleState, bonds: BondList, domain: Domain):
         [domain.minimum_image_axis(state.x[d, i] - state.x[d, j], d)
          for d in range(state.dim)]
     )  # (D, B)
-    r = jnp.sqrt(sum(rij[d] ** 2 for d in range(state.dim))) + 1e-300
+    r = jnp.sqrt(sum(rij[d] ** 2 for d in range(state.dim))) + 1e-30
     return i, j, rij, r
 
 
@@ -70,7 +70,7 @@ def fene_bond_force(
     fbond = -k * rshift / rlogarg / r
     if epsilon > 0.0 and sigma > 0.0:
         cut = 2.0 ** (1.0 / 6.0) * sigma
-        sr6 = (sigma / jnp.maximum(rshift, 1e-300)) ** 6
+        sr6 = (sigma / jnp.maximum(rshift, 1e-30)) ** 6
         lj = jnp.where(
             rshift < cut, 48.0 * epsilon * sr6 * (sr6 - 0.5) / rshift / r, 0.0
         )

@@ -102,8 +102,8 @@ def drag_lift(
     w = (body_mask & state.valid).astype(state.dtype)
     d = jnp.asarray(drag_dir[:dim], state.dtype)
     l = jnp.asarray(lift_dir[:dim], state.dtype)
-    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-300)
-    l = l / jnp.maximum(jnp.linalg.norm(l), 1e-300)
+    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-30)
+    l = l / jnp.maximum(jnp.linalg.norm(l), 1e-30)
     cd = sum(t[k] * d[k] for k in range(dim))
     cl = sum(t[k] * l[k] for k in range(dim))
     return (cd * w).sum(), (cl * w).sum()

@@ -65,6 +65,6 @@ def random_stress_force(
     divS = jnp.stack(divs)  # (D, N)
 
     sq_var = jnp.sqrt(
-        2.0 * cfg.rs.kbt * state.nu * state.rho / cfg.dt / jnp.maximum(pre.vfrac, 1e-300)
+        2.0 * cfg.rs.kbt * state.nu * state.rho / cfg.dt / jnp.maximum(pre.vfrac, 1e-30)
     )
     return state.f + divS * sq_var[None, :] * row.astype(dtype)[None, :]

@@ -77,7 +77,7 @@ def phase_gradient(
 def normalize_with_magnitude(grad: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """FunctorNormalizeVector: unit normal + magnitude (zero-safe)."""
     mag = jnp.sqrt(sum(grad[d] * grad[d] for d in range(grad.shape[0])))
-    normal = jnp.where(mag[None, :] > 0, grad / jnp.maximum(mag, 1e-300)[None, :], 0.0)
+    normal = jnp.where(mag[None, :] > 0, grad / jnp.maximum(mag, 1e-30)[None, :], 0.0)
     return normal, mag
 
 
@@ -104,14 +104,14 @@ def correct_phase_normal(
     ndot = sum(pnormal[d] * knormal[d] for d in range(dim))
     nt = pnormal - ndot[None, :] * knormal
     ntmag = jnp.sqrt(sum(nt[d] * nt[d] for d in range(dim)))
-    nt = jnp.where(ntmag[None, :] > 0, nt / jnp.maximum(ntmag, 1e-300)[None, :], nt)
+    nt = jnp.where(ntmag[None, :] > 0, nt / jnp.maximum(ntmag, 1e-30)[None, :], nt)
     ntl = nt * jnp.sin(theta)[None, :] + knormal * jnp.cos(theta)[None, :]
 
     d_i = 2.0 * (pre.pnd * pre.vfrac - 0.5) - 0.5
     f_i = jnp.where(d_i < 0.0, 0.0, 2.0 * d_i)
     blended = f_i[None, :] * pnormal + (1.0 - f_i)[None, :] * ntl
     bmag = jnp.sqrt(sum(blended[d] * blended[d] for d in range(dim)))
-    blended = jnp.where(bmag[None, :] > 0, blended / jnp.maximum(bmag, 1e-300)[None, :], blended)
+    blended = jnp.where(bmag[None, :] > 0, blended / jnp.maximum(bmag, 1e-30)[None, :], blended)
     return jnp.where(active[None, :], blended, pnormal)
 
 

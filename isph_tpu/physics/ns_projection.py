@@ -329,7 +329,7 @@ def solve_poisson(
         wall = state.is_solid & (nsq > 0.5)
         l1 = jnp.abs(A.diag) + (jnp.abs(A.vals) * A.mask).sum(axis=0)
         sgn = jnp.where(A.diag < 0, -1.0, 1.0)
-        dinv = sgn / jnp.maximum(l1, 1e-300)
+        dinv = sgn / jnp.maximum(l1, 1e-30)
         wallf = wall.astype(dtype)
         for _ in range(20):
             dp = dp + wallf * dinv * (b - A.matvec(dp))

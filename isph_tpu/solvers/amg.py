@@ -360,7 +360,7 @@ def build_amg(
     for lvl in levels:
         l1 = jnp.abs(lvl.diag) + (jnp.abs(lvl.vals) * lvl.mask).sum(axis=0)
         sgn = jnp.where(lvl.diag < 0, -1.0, 1.0)
-        dinvs.append(jnp.asarray(omega, dtype) * sgn / jnp.maximum(l1, 1e-300))
+        dinvs.append(jnp.asarray(omega, dtype) * sgn / jnp.maximum(l1, 1e-30))
 
     # dense coarse INVERSE once per build (per-apply cost = one matmul).
     # Regularization is dtype-aware (1e-8 is meaningless in f32), and for
@@ -372,7 +372,14 @@ def build_amg(
     Ad = Acoarse.to_dense()
     ncoarse = Ad.shape[0]
     reg = max(coarse_reg, 100.0 * float(jnp.finfo(dtype).eps))
-    scale = jnp.maximum(jnp.abs(Acoarse.diag).max(), 1e-300)
+    # Robust magnitude for the regularization/null-shift: for a pure-Neumann
+    # operator the Galerkin coarse entries can cancel to EXACTLY zero (a 1x1
+    # coarse level is the full row-sum), and inv(0 + reg*0) = inf would turn
+    # the post-deflation into inf - inf = NaN (observed in f32 under fused
+    # XLA programs).  Floor against the fine-level diagonal scale, which an
+    # assembled Laplacian can never cancel away.
+    fine_scale = jnp.abs(levels[0].diag).max()
+    scale = jnp.maximum(jnp.abs(Ad).max(), 1e-3 * fine_scale + 1e-30)
     Ad = Ad + reg * scale * jnp.eye(ncoarse, dtype=Ad.dtype)
     if null_vec is not None:
         # shift sign must match the operator's definiteness (the assembled
@@ -386,6 +393,6 @@ def build_amg(
 
     nh = None
     if null_vec is not None:
-        nh = null_vec / jnp.maximum(jnp.sqrt((null_vec * null_vec).sum()), 1e-300)
+        nh = null_vec / jnp.maximum(jnp.sqrt((null_vec * null_vec).sum()), 1e-30)
     return AMG(levels=levels, aggs=aggs, dinvs=dinvs, onehots=onehots,
                coarse_inv=coarse_inv, null_vec=nh, npre=npre, npost=npost)

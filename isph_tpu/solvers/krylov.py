@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from isph_tpu.utils.fsum import comp_dot
+
 
 class KrylovResult(NamedTuple):
     x: jax.Array
@@ -32,8 +34,38 @@ class KrylovResult(NamedTuple):
     converged: jax.Array
 
 
+def _use_compensated(dtype) -> bool:
+    """Krylov scalars need ~1e-8 relative accuracy (Belos default tol,
+    solver_lin_belos.h:236); plain f32 sums over 1e5+ particles lose that.
+    f64 runs keep the cheap plain sum."""
+    return jnp.finfo(dtype).bits <= 32
+
+
 def _dot(a, b, axis_name: Optional[str] = None):
+    if _use_compensated(a.dtype):
+        hi, lo = comp_dot(a, b)
+        if axis_name is not None:
+            hl = lax.psum(jnp.stack([hi, lo]), axis_name)
+            return hl[0] + hl[1]
+        return hi + lo
     s = jnp.sum(a * b)
+    if axis_name is not None:
+        s = lax.psum(s, axis_name)
+    return s
+
+
+def _fused_dots(pairs, axis_name: Optional[str] = None):
+    """One reduction for many dots: pairs = [(a1,b1),(a2,b2),...].  In f32 the
+    (hi, lo) compensated parts ride the SAME stacked psum, preserving the
+    single-collective property of the callers."""
+    if _use_compensated(pairs[0][0].dtype):
+        hilo = [comp_dot(p, q) for p, q in pairs]
+        s = jnp.stack([h for h, _ in hilo] + [l for _, l in hilo])
+        if axis_name is not None:
+            s = lax.psum(s, axis_name)
+        k = len(pairs)
+        return s[:k] + s[k:]
+    s = jnp.stack([jnp.sum(p * q) for p, q in pairs])
     if axis_name is not None:
         s = lax.psum(s, axis_name)
     return s
@@ -47,7 +79,7 @@ def make_null_projector(null_vec: jax.Array, axis_name: Optional[str] = None):
     """P x = x - (x . n) n with n normalized (reference PoissonProjection:
     y = Ax - (y.n)n, solver_lin.h:148-170)."""
     nrm = _norm(null_vec, axis_name)
-    nhat = null_vec / jnp.maximum(nrm, 1e-300)
+    nhat = null_vec / jnp.maximum(nrm, 1e-30)
 
     def project(x):
         return x - _dot(x, nhat, axis_name) * nhat
@@ -78,17 +110,14 @@ def cg(
     A = lambda v: proj(matvec(v))
 
     def fused_dots(pairs):
-        s = jnp.stack([jnp.sum(p * q) for p, q in pairs])
-        if axis_name is not None:
-            s = lax.psum(s, axis_name)
-        return s
+        return _fused_dots(pairs, axis_name)
 
     r = b - A(x)
     z = M(r)
     p = z
     d0 = fused_dots([(r, z), (r, r), (b, b)])
     rz, rr, bb = d0[0], d0[1], d0[2]
-    bnorm = jnp.maximum(jnp.sqrt(bb), jnp.asarray(1e-300, dtype))
+    bnorm = jnp.maximum(jnp.sqrt(bb), jnp.asarray(1e-30, dtype))
 
     # two reductions per iteration: (p, Ap), then the fused [(r,z), (r,r)]
     # pair that also feeds the convergence test (the naive loop pays a third
@@ -146,18 +175,14 @@ def pipelined_cg(
     A = lambda v: proj(matvec(v))
 
     def fused_dots(pairs):
-        """One reduction for many dots: pairs = [(a1,b1),(a2,b2),...]."""
-        s = jnp.stack([jnp.sum(p * q) for p, q in pairs])
-        if axis_name is not None:
-            s = lax.psum(s, axis_name)
-        return s
+        return _fused_dots(pairs, axis_name)
 
     r = b - A(x)
     u = M(r)
     w = A(u)
     d0 = fused_dots([(r, u), (w, u), (b, b), (r, r)])
     gamma, delta, bb, rr = d0[0], d0[1], d0[2], d0[3]
-    bnorm = jnp.maximum(jnp.sqrt(bb), jnp.asarray(1e-300, dtype))
+    bnorm = jnp.maximum(jnp.sqrt(bb), jnp.asarray(1e-30, dtype))
     m = M(w)
     nn = A(m)
     alpha = gamma / delta
@@ -237,13 +262,13 @@ def gmres(
 
     b = proj(b)
     A = lambda v: proj(matvec(v))
-    bnorm = jnp.maximum(_norm(b, axis_name), jnp.asarray(1e-300, dtype))
+    bnorm = jnp.maximum(_norm(b, axis_name), jnp.asarray(1e-30, dtype))
 
     def cycle(x):
         r = b - A(x)
         beta = _norm(r, axis_name)
         V = jnp.zeros((m + 1, n), dtype)
-        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+        V = V.at[0].set(r / jnp.maximum(beta, 1e-30))
         H = jnp.zeros((m + 1, m), dtype)
         # accumulated Givens rotations as ONE (m+1, m+1) matrix: applying all
         # past rotations to a new column is a tiny MXU matmul instead of a
@@ -268,12 +293,12 @@ def gmres(
             # their dots vanish automatically.
             hw = _norm(w, axis_name)
             h = h.at[j + 1].set(hw)
-            V_new = V.at[j + 1].set(w / jnp.maximum(hw, 1e-300))
+            V_new = V.at[j + 1].set(w / jnp.maximum(hw, 1e-30))
 
             hcol = Q @ h  # all accumulated rotations at once
             denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-            c = jnp.where(denom > 0, hcol[j] / jnp.maximum(denom, 1e-300), 1.0)
-            s = jnp.where(denom > 0, hcol[j + 1] / jnp.maximum(denom, 1e-300), 0.0)
+            c = jnp.where(denom > 0, hcol[j] / jnp.maximum(denom, 1e-30), 1.0)
+            s = jnp.where(denom > 0, hcol[j + 1] / jnp.maximum(denom, 1e-30), 0.0)
             rj, rj1 = Q[j], Q[j + 1]
             Q_new = Q.at[j].set(c * rj + s * rj1).at[j + 1].set(-s * rj + c * rj1)
             hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1]).at[j + 1].set(0.0)
@@ -398,7 +423,7 @@ def gmres_recycled(
         M = lambda v: v
     A = matvec
     U, C = recycle.U, recycle.C
-    bnorm = jnp.maximum(_norm(b, axis_name), jnp.asarray(1e-300, dtype))
+    bnorm = jnp.maximum(_norm(b, axis_name), jnp.asarray(1e-30, dtype))
 
     def cdot(Vrows, w):
         h = Vrows @ w
@@ -425,12 +450,12 @@ def gmres_recycled(
         d = jnp.diag(G)
         dmax = jnp.maximum(jnp.max(d), jnp.asarray(0.0, dtype))
         eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-        live = d > 32.0 * eps * jnp.maximum(dmax, 1e-300)
+        live = d > 32.0 * eps * jnp.maximum(dmax, 1e-30)
         lf = live.astype(dtype)
         # dead rows -> identity rows of G (Cholesky stays defined); a small
         # relative ridge guards near-rank-deficient live blocks
         G = G * (lf[:, None] * lf[None, :]) + jnp.diag(1.0 - lf)
-        G = G + jnp.diag(32.0 * eps * jnp.maximum(dmax, 1e-300) * lf)
+        G = G + jnp.diag(32.0 * eps * jnp.maximum(dmax, 1e-30) * lf)
         L = jnp.linalg.cholesky(G)
         C_new = jax.scipy.linalg.solve_triangular(L, C_raw, lower=True)
         U_new = jax.scipy.linalg.solve_triangular(L, U_in, lower=True)
@@ -452,7 +477,7 @@ def gmres_recycled(
         ctr0 = cdot(C, r)
         r = r - C.T @ ctr0  # (I - C C^T) r
         beta = _norm(r, axis_name)
-        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, 1e-300))
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, 1e-30))
         H = jnp.zeros((m + 1, m), dtype)
         B = jnp.zeros((k, m), dtype)
 
@@ -468,7 +493,7 @@ def gmres_recycled(
             h = h1 + h2
             hw = _norm(w, axis_name)
             h = h.at[j + 1].set(hw)
-            V = V.at[j + 1].set(w / jnp.maximum(hw, 1e-300))
+            V = V.at[j + 1].set(w / jnp.maximum(hw, 1e-30))
             H = H.at[:, j].set(h)
             B = B.at[:, j].set(bj)
             return V, H, B

@@ -17,8 +17,8 @@ def _safe_recip(x):
     partially-built halo rows have zero/rank-deficient systems; their inverse
     is garbage that downstream masks discard, but it must be FINITE (0 * inf
     = nan would survive the masks)."""
-    return jnp.where(jnp.abs(x) > 1e-300, 1.0, 0.0) / jnp.where(
-        jnp.abs(x) > 1e-300, x, 1.0
+    return jnp.where(jnp.abs(x) > 1e-30, 1.0, 0.0) / jnp.where(
+        jnp.abs(x) > 1e-30, x, 1.0
     )
 
 

@@ -44,4 +44,6 @@ def quadform(Lp, e):
     dim = e.shape[0]
     idx = packed_indices(dim)
     scale = packed_scale(dim)
-    return sum(scale[q] * Lp[q] * e[i] * e[j] for q, (i, j) in enumerate(idx))
+    # float() keeps the np.float64 scale weakly typed: a numpy scalar would
+    # promote f32 operands to f64 under jax_enable_x64
+    return sum(float(scale[q]) * Lp[q] * e[i] * e[j] for q, (i, j) in enumerate(idx))
