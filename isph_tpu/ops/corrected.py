@@ -56,7 +56,7 @@ class PairFilter(NamedTuple):
 
     def pair(self, kind: jax.Array, geom: PairGeom) -> jax.Array:
         """(K, N) bool pair admission."""
-        kj = kind[geom.idx]
+        kj = geom.gather(kind)
         return ((kind[None, :] & self.iset) != 0) & ((kj & self.jset) != 0)
 
 
@@ -75,7 +75,7 @@ def pair_coeff(
     """
     dtype = geom.mask.dtype
     ki = kind[None, :]
-    kj = kind[geom.idx]
+    kj = geom.gather(kind)
     solid = Kind.SOLID | Kind.BOUNDARY
     base = (((ki & filt.iset) != 0) & ((ki & filt.jset) != 0)).astype(dtype)
     fs_pair = ((ki & solid) == 0) & ((kj & solid) != 0)
@@ -101,7 +101,7 @@ def gradient_correction(geom: PairGeom, vfrac: jax.Array) -> jax.Array:
     is the closed-form cofactor formula (utils/dense.py), not an LU call.
     """
     dim = geom.dim
-    coef = -geom.dwdr / geom.r * vfrac[geom.idx] * geom.mask  # (K, N)
+    coef = -geom.dwdr / geom.r * geom.gather(vfrac) * geom.mask  # (K, N)
     G = jnp.stack(
         [
             jnp.stack([(coef * geom.rij[a] * geom.rij[b]).sum(axis=0) for b in range(dim)])
@@ -123,7 +123,7 @@ def laplacian_correction(geom: PairGeom, vfrac: jax.Array, Gc: jax.Array) -> jax
     dtype = geom.r.dtype
     idx_p = packed_indices(dim)
     dl = len(idx_p)
-    vj = vfrac[geom.idx] * geom.mask  # (K, N)
+    vj = geom.gather(vfrac) * geom.mask  # (K, N)
 
     # a_{ij}^k = (Gc_i r_ij)_k * dwdr / r * V_j   -> (D, K, N)
     wgt = geom.dwdr / geom.r * vj
@@ -193,8 +193,8 @@ def interface_normal(geom: PairGeom, vfrac: jax.Array, kind: jax.Array, Gc: jax.
     dtype = geom.r.dtype
     solid = Kind.SOLID | Kind.BOUNDARY
     si = ((kind & solid) != 0).astype(dtype)  # 1 solid, 0 fluid
-    sj = si[geom.idx]
-    vj = vfrac[geom.idx] * geom.mask
+    sj = geom.gather(si)
+    vj = geom.gather(vfrac) * geom.mask
 
     # cross-side pairs get the orientation of the row's kind
     cross = (sj != si[None, :]).astype(dtype) * geom.mask
@@ -233,7 +233,7 @@ def morris_holmes_mirror(
     xi = pnd * vfrac
     d = 2.0 * cut * (xi - 0.5) + eps
     d_i = d[None, :]
-    d_j = d[geom.idx]
+    d_j = geom.gather(d)
     return 1.0 + d_j / jnp.maximum(d_i, safe * h)
 
 
@@ -261,7 +261,7 @@ class Family:
 
     def vf(self, geom: PairGeom, vfrac: jax.Array) -> jax.Array:
         """(K, N) pair volume weight."""
-        vj = vfrac[geom.idx]
+        vj = geom.gather(vfrac)
         if self.antisymmetric:
             return jnp.sqrt(vfrac[None, :] * vj) * geom.mask
         return vj * geom.mask
@@ -312,11 +312,11 @@ def gradient(
     gr = _g_dot_r(G, geom.rij)  # (D, K, N)
 
     if f.ndim == 1:
-        comb = family.combine(f[None, :], f[geom.idx]) * c  # (K, N)
+        comb = family.combine(f[None, :], geom.gather(f)) * c  # (K, N)
         out = jnp.stack([(comb * gr[b]).sum(axis=0) for b in range(dim)]) * alpha
     else:
         d = f.shape[0]
-        comb = family.combine(f[:, None, :], f[:, geom.idx])  # (d, K, N)
+        comb = family.combine(f[:, None, :], geom.gather(f))  # (d, K, N)
         out = jnp.stack(
             [
                 jnp.stack([(comb[a] * c * gr[b]).sum(axis=0) for b in range(dim)])
@@ -348,7 +348,7 @@ def divergence(
     if coeff is not None:
         c = c * coeff
     gr = _g_dot_r(G, geom.rij)
-    comb = family.combine(f[:, None, :], f[:, geom.idx])  # (D, K, N)
+    comb = family.combine(f[:, None, :], geom.gather(f))  # (D, K, N)
     out = sum((comb[b] * gr[b] * c) for b in range(dim)).sum(axis=0) * alpha
     if row_mask is not None:
         out = out * row_mask.astype(out.dtype)
@@ -417,11 +417,11 @@ def boundary_coordinate(
     dtype = x.dtype
     K, n = geom.idx.shape
     dim = geom.dim
-    kj = kind[geom.idx]
+    kj = geom.gather(kind)
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
 
     # coords (K+1, N): neighbors + self; padded slots pushed to +inf
-    ncoord_j = sum(x[d][geom.idx] * normal[d][None, :] for d in range(dim))
+    ncoord_j = sum(geom.gather(x[d]) * normal[d][None, :] for d in range(dim))
     ncoord_i = sum(x[d] * normal[d] for d in range(dim))
     coords = jnp.concatenate([jnp.where(geom.mask > 0, ncoord_j, big), ncoord_i[None, :]])
     is_solid = jnp.concatenate(
@@ -472,7 +472,7 @@ def morris_normal_mirror(
     boundary plane along n_i; coeff = 1 + d_j / max(d_i, safe h)."""
     dim = geom.dim
     xi_i = sum(x[d] * normal[d] for d in range(dim))
-    xi_j = sum(x[d][geom.idx] * normal[d][None, :] for d in range(dim))
+    xi_j = sum(geom.gather(x[d]) * normal[d][None, :] for d in range(dim))
     d_i = jnp.abs(xi_i - bd_coord) + cut * 1e-8
     d_j = jnp.abs(xi_j - bd_coord[None, :])
     return 1.0 + d_j / jnp.maximum(d_i[None, :], safe * h)
@@ -565,7 +565,7 @@ def laplacian_matrix(
     vf = family.vf(geom, vfrac)
     mat = material if material is not None else jnp.ones(geom.n, dtype)
     mat_i = mat[None, :]
-    mat_j = mat[geom.idx]
+    mat_j = geom.gather(mat)
     coeff1 = pair_coeff(kind, geom, filt, mirror)
     coeff2 = pair_coeff(kind, geom, filt, None)  # pass 2: no mirror scaling
     rowf = filt.row(kind).astype(dtype)
@@ -575,7 +575,7 @@ def laplacian_matrix(
     aij0 = 2.0 * quad * geom.dwdr * vf  # before material/coeff/r
     ge = _g_dot_r(G, geom.eij)  # (D, K, N): (G_i e_ij)
     # gradient-of-material at i (guarded by ikind & jkind in the reference)
-    same_kind = ((kind[None, :] & kind[geom.idx]) != 0).astype(dtype)
+    same_kind = ((kind[None, :] & geom.gather(kind)) != 0).astype(dtype)
     cm = family.combine(mat_i, mat_j) * geom.dwdr * vf * same_kind
     grad_mat = jnp.stack([(cm * ge[b]).sum(axis=0) for b in range(dim)])  # (D, N)
     # c_i (symmetric family only, functor_laplacian_matrix.h:196-200)

@@ -84,15 +84,19 @@ class PairGeom:
 
     def gather(self, f: jax.Array) -> jax.Array:
         """f (N,) -> (K, N); f (D, N) -> (D, K, N).  Dispatches to the pallas
-        windowed-gather kernel when a plan is attached (TPU, f32)."""
-        if (
-            self.plan is not None
-            and f.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
-        ):
+        windowed-gather kernel when a plan is attached (TPU, f32); small-int
+        and bool fields ride the f32 kernel via an exact round-trip (kind
+        bitmasks are <= 127, phase ids < 4 — both exact in f32).  The XLA
+        ``f[idx]`` fallback lowers to a serialized scalar gather measured
+        50+ ms per (C, N) sweep on TPU."""
+        if self.plan is not None and jax.default_backend() == "tpu":
             from isph_tpu.ops.spmv_pallas import take
 
-            return take(self.plan, self.idx, f)
+            if f.dtype == jnp.float32:
+                return take(self.plan, self.idx, f)
+            if f.dtype in (jnp.int32, jnp.uint32, jnp.bool_, jnp.int8):
+                g = take(self.plan, self.idx, f.astype(jnp.float32))
+                return g.astype(f.dtype)
         if f.ndim == 1:
             return f[self.idx]
         return f[:, self.idx]
@@ -159,16 +163,35 @@ def build_neighbor_list(
     real_rank = jnp.where(sorted_cid < ncells, rank, -1)
     cell_overflow = jnp.maximum(real_rank.max() + 1 - cap, 0)
 
-    # bucket table: (ncells+1, cap), sentinel n for empty slots
+    # bucket table: (ncells+1, cap), sentinel n for empty slots; the
+    # positions are gathered INTO the table once (ncells*cap elements) so
+    # the per-candidate position lookups below are contiguous ROW gathers —
+    # the naive x[cand] element gather was measured 50+ ms at N=16k on TPU
+    # (the serialized-scalar-gather path), vs <1 ms for the row form.
+    # rank is pushed out of bounds for the park row so INVALID particles
+    # never enter the table: the sentinel row ncells is gathered by
+    # out-of-range offsets on non-periodic axes and must stay empty (it used
+    # to hold the parked particles, masked later by a valid[cand] gather —
+    # that scalar gather is exactly what this layout eliminates)
+    rank_w = jnp.where(sorted_cid < ncells, rank, cap)
     table = jnp.full((ncells + 1, cap), n, dtype=jnp.int32)
-    table = table.at[sorted_cid, rank].set(order.astype(jnp.int32), mode="drop")
+    table = table.at[sorted_cid, rank_w].set(order.astype(jnp.int32), mode="drop")
+    xtab = jnp.stack([
+        jnp.full((ncells + 1, cap), jnp.inf, xw.dtype)
+        .at[sorted_cid, rank_w].set(xw[d][order], mode="drop")
+        for d in range(dim)
+    ])  # (D, ncells+1, cap); empty slots at +inf -> fail every cutoff test
 
-    # --- gather 3^D cell neighborhood → candidates (C, N) ------------------
+    # --- gather 3^D cell neighborhood -> candidates (N, C) -----------------
+    # candidate-major layout: each offset contributes contiguous (N, cap)
+    # blocks, and the top_k compaction below runs on the (last) candidate
+    # axis natively
     offsets = np.array(
         np.meshgrid(*([np.array([-1, 0, 1])] * dim), indexing="ij")
     ).reshape(dim, -1).T  # (3^D, D)
 
     cand_blocks = []
+    xc_blocks = []
     for off in offsets:
         in_range = jnp.ones((n,), bool)
         flat = jnp.zeros((n,), jnp.int32)
@@ -181,34 +204,42 @@ def build_neighbor_list(
                 in_range = in_range & (cc >= 0) & (cc < ncell[d])
             flat = flat + ccw * strides[d]
         flat = jnp.where(in_range, flat, ncells)
-        cand_blocks.append(table[flat].T)  # (cap, N)
-    cand = jnp.concatenate(cand_blocks, axis=0)  # (C, N), C = 3^D * cap
+        cand_blocks.append(table[flat])  # (N, cap)
+        xc_blocks.append(xtab[:, flat])  # (D, N, cap)
+    cand = jnp.concatenate(cand_blocks, axis=1)  # (N, C), C = 3^D * cap
+    xc = jnp.concatenate(xc_blocks, axis=2)  # (D, N, C)
 
     # --- cutoff mask -------------------------------------------------------
-    cand_clipped = jnp.minimum(cand, n - 1)
-    i_idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     rsq = jnp.zeros(cand.shape, xw.dtype)
     for d in range(dim):
-        rd = domain.minimum_image_axis(xw[d][None, :] - xw[d][cand_clipped], d)
+        rd = domain.minimum_image_axis(xw[d][:, None] - xc[d], d)
         rsq = rsq + rd * rd
+    # candidates come only from real cells' buckets, which hold only valid
+    # particles (invalid ones are parked in the overflow cell), so no
+    # valid[cand] gather is needed; empty slots hold x=+inf and fail rsq
     good = (
-        (cand < n)
-        & (cand_clipped != i_idx)
+        (cand != i_idx)
         & (rsq < cutoff * cutoff)
-        & valid[None, :]
-        & valid[cand_clipped]
+        & valid[:, None]
     )
 
     # --- compact to K slots, SORTED BY COLUMN INDEX ------------------------
     # (valid candidates first, ascending j: the k-th slots of adjacent rows
     # then point at nearly the same 128-chunk of the particle axis — the
     # locality the pallas windowed-gather plan exploits, ops/spmv_pallas.py)
-    sort_key = jnp.where(good, cand_clipped, jnp.asarray(n, jnp.int32))
-    perm = jnp.argsort(sort_key, axis=0)[:K]
-    idx = jnp.take_along_axis(cand_clipped, perm, axis=0)
-    mask = jnp.take_along_axis(good, perm, axis=0)
+    # top_k of the NEGATED key gives the K smallest keys in ascending order,
+    # and the neighbor index is recovered from the value itself — no
+    # take_along_axis pass and no (C, N) full sort (measured ~42 ms at
+    # N=16k vs ~2 ms for top_k).
+    sort_key = jnp.where(good, cand, jnp.asarray(n, jnp.int32))
+    negtop, _ = jax.lax.top_k(-sort_key, K)  # (N, K), ascending sort_key
+    mask_nk = negtop > -n
+    idx_nk = jnp.where(mask_nk, -negtop, 0)
+    idx = idx_nk.T.astype(jnp.int32)  # (K, N)
+    mask = mask_nk.T
 
-    count = good.sum(axis=0).astype(jnp.int32)
+    count = good.sum(axis=1).astype(jnp.int32)
     # Masked slots repeat the row's LAST VALID neighbor (fallback: the row
     # itself when it has none).  Self-padding put the row's OWN 128-chunk in
     # every slot-group's gather window; the last valid neighbor's chunk is
@@ -216,8 +247,8 @@ def build_neighbor_list(
     # this tightens the pallas plan unions ~30% (every operator multiplies by
     # mask, so the padded value never contributes).
     lastk = jnp.clip(count - 1, 0, K - 1)
-    lastv = jnp.take_along_axis(idx, lastk[None, :], axis=0)[0]
-    pad = jnp.where(count > 0, lastv, i_idx[0])
+    lastv = jnp.take_along_axis(idx_nk, lastk[:, None], axis=1)[:, 0].astype(jnp.int32)
+    pad = jnp.where(count > 0, lastv, jnp.arange(n, dtype=jnp.int32))
     idx = jnp.where(mask, idx, pad[None, :])
     overflow = jnp.maximum(count.max() - K, 0) + cell_overflow
     plan = None
@@ -270,9 +301,16 @@ def compute_pair_geometry(
     dtype = x.dtype
     xw = domain.wrap(x)
     maskf = nbrs.mask.astype(dtype)
+    if (nbrs.plan is not None and dtype == jnp.float32
+            and jax.default_backend() == "tpu"):
+        from isph_tpu.ops.spmv_pallas import take
+
+        xj = take(nbrs.plan, nbrs.idx, xw)  # (D, K, N) via the fast kernel
+    else:
+        xj = xw[:, nbrs.idx]
     rij = jnp.stack(
         [
-            domain.minimum_image_axis(xw[d][None, :] - xw[d][nbrs.idx], d) * maskf
+            domain.minimum_image_axis(xw[d][None, :] - xj[d], d) * maskf
             for d in range(dim)
         ]
     )  # (D, K, N)

@@ -77,7 +77,7 @@ def smooth_field(state, geom, pre, f, *, filt: Optional[PairFilter] = None):
     dtype = state.dtype
     filt = filt or PairFilter(Kind.FLUID, Kind.ALL)
     pairm = filt.pair(state.kind, geom).astype(dtype) * geom.mask
-    num = geom.w_self * f + (geom.w * pairm * f[geom.idx]).sum(axis=0)
+    num = geom.w_self * f + (geom.w * pairm * geom.gather(f)).sum(axis=0)
     den = geom.w_self + (geom.w * pairm).sum(axis=0)
     out = num / den
     return jnp.where(filt.row(state.kind), out, f)

@@ -48,12 +48,12 @@ def phase_gradient(
 
     filt = PairFilter(Kind.FLUID, Kind.FLUID)
     pairm = filt.pair(state.kind, geom).astype(dtype) * geom.mask
-    pj = phase[geom.idx]
+    pj = geom.gather(phase)
     cross = (pj != phase[None, :]).astype(dtype) * pairm
 
-    vj = pre.vfrac[geom.idx]
+    vj = geom.gather(pre.vfrac)
     rhoi = rho[None, :]
-    rhoj = rho[geom.idx]
+    rhoj = geom.gather(rho)
 
     if color == "adami":
         cij = cross * rhoi / (rhoi + rhoj)
@@ -130,14 +130,14 @@ def adami_curvature(
     phase = state.phase if state.phase is not None else jnp.zeros(state.n, jnp.int32)
     filt = PairFilter(Kind.FLUID, Kind.FLUID)
     pairm = filt.pair(state.kind, geom).astype(dtype) * geom.mask
-    magj_ok = (mag[geom.idx] > _EPS).astype(dtype)
+    magj_ok = (geom.gather(mag) > _EPS).astype(dtype)
     pm = pairm * magj_ok
 
-    sign = jnp.where(phase[geom.idx] == phase[None, :], 1.0, -1.0)
-    vj = pre.vfrac[geom.idx]
+    sign = jnp.where(geom.gather(phase) == phase[None, :], 1.0, -1.0)
+    vj = geom.gather(pre.vfrac)
     wv = geom.dwdr * vj * pm
     nij_dot_r = sum(
-        (normal[d][None, :] - sign * normal[d][geom.idx]) * geom.rij[d] for d in range(dim)
+        (normal[d][None, :] - sign * geom.gather(normal[d])) * geom.rij[d] for d in range(dim)
     )
     numer = (nij_dot_r / geom.r * wv).sum(axis=0)
     denom = (geom.r * wv).sum(axis=0)
@@ -211,7 +211,7 @@ def pairwise_force(
     phase = state.phase if state.phase is not None else jnp.zeros(state.n, jnp.int32)
     filt = PairFilter(Kind.FLUID, Kind.ALL)
     pairm = filt.pair(state.kind, geom).astype(dtype) * geom.mask
-    s = s_table[phase[None, :], phase[geom.idx]]
+    s = s_table[phase[None, :], geom.gather(phase)]
     fmag = pairwise_force_value(model, s, geom.r, cfg.cut, dim) * pairm
     df = jnp.stack([(-fmag * geom.eij[d]).sum(axis=0) for d in range(dim)])
     row = filt.row(state.kind).astype(dtype)

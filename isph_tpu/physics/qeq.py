@@ -103,7 +103,7 @@ def assemble_h(
     eta = jnp.asarray(params.eta, dtype)
 
     ti = type_id[None, :]
-    tj = type_id[geom.idx]
+    tj = geom.gather(type_id)
     gamma_ij = (gamma[ti] * gamma[tj]) ** (-1.5)
     within = (geom.r <= params.swb).astype(dtype) * geom.mask
     vals = shielded_coulomb(geom.r, gamma_ij, tap) * within

@@ -50,7 +50,7 @@ def compute_shift_vectors(
     ri = jnp.where(cnt > 0, (geom.r * pairf).sum(axis=0) / jnp.maximum(cnt, 1.0), 0.0)
 
     rir2 = (ri[None, :] / geom.r) ** 2
-    jkind = state.kind[geom.idx]
+    jkind = geom.gather(state.kind)
     nonfluid = ((jkind & Kind.FLUID) == 0).astype(dtype)
     beta = coeff / geom.r * rir2 * (1.0 + nonfluid * sc.nonfluidweight * rir2) * pairf
     dr = jnp.stack([(beta * geom.rij[d]).sum(axis=0) for d in range(state.dim)])
