@@ -51,9 +51,16 @@ from isph_tpu.state import Domain, Kind, ParticleState
 from isph_tpu.models.driver import Simulation, StepAux
 from isph_tpu.ops.neighbors import build_neighbor_list, compute_pair_geometry
 from isph_tpu.ops.kernels import get_kernel
-from isph_tpu.physics import ns_projection
+from isph_tpu.physics import (
+    electrokinetics,
+    fluctuation,
+    multiphase,
+    ns_projection,
+    transport,
+)
+from isph_tpu.physics import shift as shift_mod
 from isph_tpu.physics.status import compute_status
-from isph_tpu.solvers.krylov import gmres
+from isph_tpu.solvers.krylov import RecycleSpace, gmres, init_recycle
 from isph_tpu.solvers.precond import jacobi
 
 
@@ -191,6 +198,11 @@ class ShardedSimulation:
     # the slab+halo extent), so the per-cell bucket must grow vs the global
     # builder's; None = 4x the configured capacity
     cell_capacity: Optional[int] = None
+    # pallas windowed-gather plan widths for the LOCAL neighbor lists (int or
+    # per-group tuple, ops/spmv_pallas.py) — set on TPU so the distributed
+    # SpMV/gathers use the fast kernel instead of XLA scalar gathers; needs
+    # (n_loc + 2*halo) % 128 == 0
+    gather_chunks: Optional[object] = None
 
     def __post_init__(self):
         assert self.halo <= self.n_loc, (
@@ -226,18 +238,17 @@ class ShardedSimulation:
     # ------------------------------------------------------------------
     # per-device step body (runs inside shard_map)
     # ------------------------------------------------------------------
-    def _step_local(self, state: ParticleState) -> Tuple[ParticleState, StepAux]:
+    def _borders(self, state: ParticleState, my_lo, my_hi):
+        """Borders build + extended state + local neighbor list + computePre
+        (LAMMPS comm->borders then PairISPH::computePre parity).  Returns
+        (ext, comm, geom, pre, overflow)."""
         cfg = self.cfg
         axis = self.axis
         dom = self.sim.domain
         n_loc, H = self.n_loc, self.halo
         dtype = state.dtype
-        me = lax.axis_index(axis)
-        my_lo = dom.lo[0] + me.astype(dtype) * jnp.asarray(self.slab_w, dtype)
-        my_hi = my_lo + self.slab_w
         L0 = dom.length[0]
 
-        # ---- borders: build halo spec + extended state -----------------
         spec = build_halo_spec(
             state.x[0], state.valid, my_lo, my_hi, cfg.cut, H, axis,
             dom.periodic[0],
@@ -284,6 +295,7 @@ class ShardedSimulation:
         nbrs = build_neighbor_list(
             x_local, valid_ext, ldom, cfg.cut,
             cfg.neighbor.max_neighbors, cap,
+            gather_chunks=self.gather_chunks,
         )
         kern = get_kernel(cfg.kernel.type)
         geom = compute_pair_geometry(x_local, nbrs, ldom, kern, cfg.h)
@@ -293,10 +305,68 @@ class ShardedSimulation:
         # 1352-1377) — the Shepard volume is consumed at neighbor positions
         # by Gc/Lc, so its ghosts must be imported BEFORE those tensors
         pre = ns_projection.compute_pre(ext, geom, cfg, exchange=comm.refresh)
+        overflow = nbrs.overflow + spec.overflow
+        return ext, comm, geom, pre, overflow
+
+    def _step_local(self, state: ParticleState) -> Tuple[ParticleState, StepAux]:
+        cfg = self.cfg
+        axis = self.axis
+        dom = self.sim.domain
+        n_loc, H = self.n_loc, self.halo
+        dtype = state.dtype
+        me = lax.axis_index(axis)
+        my_lo = dom.lo[0] + me.astype(dtype) * jnp.asarray(self.slab_w, dtype)
+        my_hi = my_lo + self.slab_w
+
+        ext, comm, geom, pre, bord_overflow = self._borders(state, my_lo, my_hi)
 
         ext = ext.replace(f=jnp.zeros_like(ext.v))
         if self.sim.extra_force is not None:
             ext = ext.replace(f=self.sim.extra_force(ext, dom))
+
+        # ---- electrokinetics (distributed: halo import in every matvec,
+        # Psi comm per Newton residual — pair_isph_corrected.cpp:447-450) ---
+        if cfg.ae.enabled:
+            phi, phigrad = electrokinetics.solve_applied_electric_potential(
+                ext, geom, pre, cfg, axis_name=axis,
+                exchange=comm.refresh, owned=comm.ownedf,
+            )
+            ext = ext.replace(phi=phi, phigrad=comm.refresh(phigrad))
+        if cfg.pb.enabled:
+            psi, psigrad, _ = electrokinetics.solve_poisson_boltzmann(
+                ext, geom, pre, cfg, axis_name=axis,
+                exchange=comm.refresh, owned=comm.ownedf,
+            )
+            ext = ext.replace(psi=psi, psigrad=comm.refresh(psigrad))
+            f = electrokinetics.electrostatic_force(
+                ext, cfg, ext.psigrad,
+                phigrad=ext.phigrad if cfg.ae.enabled else None,
+            )
+            ext = ext.replace(f=f)
+
+        # ---- solute transport (comm TempScalar per species:
+        # pair_isph.cpp:838-842) ------------------------------------------
+        if cfg.tr.enabled and ext.conc is not None:
+            conc, _ = transport.solute_transport_step(
+                ext, geom, pre, cfg, axis_name=axis,
+                exchange=comm.refresh, owned=comm.ownedf,
+            )
+            ext = ext.replace(conc=comm.refresh(conc))
+
+        # ---- random stress / surface tension (local pair ops over the
+        # exchanged halos; noise decorrelated per device) ------------------
+        if cfg.rs.enabled:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.rs.seed),
+                ext.step if ext.step is not None else 0,
+            )
+            key = jax.random.fold_in(key, me)
+            ext = ext.replace(
+                f=fluctuation.random_stress_force(ext, geom, pre, cfg, key)
+            )
+        if cfg.st.enabled and cfg.st.model == "csf":
+            f, _, _ = multiphase.csf_force(ext, geom, pre, cfg)
+            ext = ext.replace(f=f)
 
         # ---- Helmholtz (momentum predictor) ------------------------------
         A_h, b_h = ns_projection.helmholtz_system(ext, geom, pre, cfg)
@@ -304,16 +374,15 @@ class ShardedSimulation:
             vstar = b_h * comm.ownedf[None, :]
             hres = None
         else:
-            comps = []
-            hres = []
-            for d in range(state.dim):
-                r = self._dist_solve(
-                    cfg, A_h, b_h[d] * comm.ownedf, ext.v[d] * comm.ownedf, comm,
-                )
-                comps.append(r.x)
-                hres.append(r)
-            vstar = jnp.stack(comps)
-            hres = jax.tree.map(lambda *xs: jnp.stack(xs), *hres)
+            # all velocity components in ONE batched Krylov run (Belos Block
+            # GMRES multivector parity, pair_isph.cpp:936-971): vmap batches
+            # the halo ppermutes and fuses the per-component psums into one
+            # collective per iteration — the python-loop version paid
+            # dim sequential solves of wall-clock
+            hres = jax.vmap(
+                lambda bc, xc: self._dist_solve(cfg, A_h, bc, xc, comm)[0]
+            )(b_h * comm.ownedf[None, :], ext.v * comm.ownedf[None, :])
+            vstar = hres.x
         # comm Vstar (pair_isph.cpp:977-979)
         vstar = comm.refresh(vstar)
         ext = ext.replace(vstar=vstar)
@@ -324,6 +393,18 @@ class ShardedSimulation:
         null_vec = None
         if singular == SingularPoisson.NULL_SPACE:
             null_vec = (ext.is_fluid & comm.owned).astype(dtype)
+        # GCRO-DR recycle space carried across steps (owned slots only; the
+        # extended halo slots are re-zeroed — reform() rebuilds C anyway)
+        rec_in = None
+        if cfg.solver.recycle_k > 0:
+            rec = state.solver_cache
+            if rec is None:
+                rec = init_recycle(n_loc, cfg.solver.recycle_k, dtype)
+            zpad = jnp.zeros((cfg.solver.recycle_k, 2 * H), dtype)
+            rec_in = RecycleSpace(
+                U=jnp.concatenate([rec.U, zpad], axis=1),
+                C=jnp.concatenate([rec.C, zpad], axis=1),
+            )
         homogeneous_neumann = singular != SingularPoisson.NOT_SINGULAR
         if homogeneous_neumann:
             fluid_rows = ext.is_fluid & comm.owned
@@ -331,8 +412,9 @@ class ShardedSimulation:
                 jnp.where(fluid_rows, A_p.diag, jnp.asarray(1.0, dtype))
             )
             b_f = jnp.where(fluid_rows, b_p, 0.0)
-            pres = self._dist_solve(
+            pres, rec_out = self._dist_solve(
                 cfg, A_f, b_f, jnp.zeros_like(b_f), comm, null_vec=null_vec,
+                recycle=rec_in, amg=(dom.wrap(ext.x), dom, cfg.cut),
             )
             dp = pres.x
             if pre.normal is not None:
@@ -342,17 +424,22 @@ class ShardedSimulation:
                 wall = ext.is_solid & (nsq > 0.5) & comm.owned
                 l1 = jnp.abs(A_p.diag) + (jnp.abs(A_p.vals) * A_p.mask).sum(axis=0)
                 sgn = jnp.where(A_p.diag < 0, -1.0, 1.0)
-                dinv = sgn / jnp.maximum(l1, 1e-300)
+                dinv = sgn / jnp.maximum(l1, 1e-30)
                 wallf = wall.astype(dtype)
                 for _ in range(20):
                     dp = dp + wallf * dinv * (b_p - A_p.matvec(comm.refresh(dp)))
                     dp = dp * comm.ownedf
         else:
-            pres = self._dist_solve(
+            pres, rec_out = self._dist_solve(
                 cfg, A_p, b_p * comm.ownedf, jnp.zeros_like(b_p), comm,
-                null_vec=null_vec,
+                null_vec=null_vec, recycle=rec_in,
+                amg=(dom.wrap(ext.x), dom, cfg.cut),
             )
             dp = pres.x
+        if rec_in is not None:
+            ext = ext.replace(solver_cache=RecycleSpace(
+                U=rec_out.U[:, :n_loc], C=rec_out.C[:, :n_loc],
+            ))
 
         if cfg.ns.use_incremental_pressure:
             dp = ns_projection.zero_mean_pressure(dp, ext, axis_name=axis)
@@ -370,14 +457,31 @@ class ShardedSimulation:
         ext = ns_projection.advance_time(ext, geom, pre, cfg, dom)
 
         # ---- shrink back to owned slots ----------------------------------
-        def shrink(f):
-            if f is None or f.ndim == 0:
-                return f
-            return f[..., :n_loc]
+        def shrink(tree):
+            def leaf(f):
+                if f is None or f.ndim == 0:
+                    return f
+                return f[..., :n_loc]
+            return jax.tree.map(leaf, tree, is_leaf=lambda a: a is None)
 
-        new_state = jax.tree.map(
-            shrink, ext, is_leaf=lambda a: a is None
-        )
+        new_state = shrink(ext)
+        shift_overflow = jnp.asarray(0, jnp.int32)
+        vfrac_own = pre.vfrac[:n_loc]
+
+        # ---- particle shifting (FixISPH_Shift::final_integrate:
+        # refreshParticles -> computePre -> shift, with the vmax Allreduce
+        # riding the axis psum, pair_isph_corrected.cpp:1203-1262) ----------
+        if cfg.shift.enabled:
+            ext2, comm2, geom2, pre2, ovf2 = self._borders(
+                new_state, my_lo, my_hi
+            )
+            dr = shift_mod.compute_shift_vectors(
+                ext2, geom2, cfg, axis_name=axis
+            )
+            ext2 = shift_mod.apply_shift(ext2, geom2, pre2, cfg, dr, dom)
+            new_state = shrink(ext2)
+            shift_overflow = ovf2
+            vfrac_own = pre2.vfrac[:n_loc]
 
         # ---- migration (comm->exchange parity) ----------------------------
         new_state, mig_overflow = self._migrate(new_state, my_lo, my_hi)
@@ -388,11 +492,11 @@ class ShardedSimulation:
             new_state.step.astype(dtype) if new_state.step is not None else 0.0
         ) * cfg.dt
         status = compute_status(
-            new_state, pre.vfrac[:n_loc], time, axis_name=axis
+            new_state, vfrac_own, time, axis_name=axis
         )
         zero = jnp.asarray(0, jnp.int32)
         overflow = (
-            lax.psum(nbrs.overflow + spec.overflow + mig_overflow, axis)
+            lax.psum(bord_overflow + shift_overflow + mig_overflow, axis)
         )
         aux = StepAux(
             status=status,
@@ -406,40 +510,71 @@ class ShardedSimulation:
         return new_state, aux
 
     # ------------------------------------------------------------------
-    def _dist_solve(self, cfg, A, b, x0, comm: _Comm, *, null_vec=None):
+    def _dist_solve(self, cfg, A, b, x0, comm: _Comm, *, null_vec=None,
+                    recycle=None, amg=None):
         """Owned-masked Krylov solve whose matvec imports halo columns
         before the local ELL apply (Epetra Import-in-Multiply parity).
 
-        Dispatches on SolverConfig.method like the single-device path; the
-        preconditioner is Jacobi regardless of ``sc.precond`` (the AMG
-        hierarchy is built single-device only — distributed coarse levels
-        would need the Zoltan-repartition analogue, VERDICT §8-missing)."""
+        Dispatches on SolverConfig.method like the single-device path; when
+        a RecycleSpace is passed (SolverConfig.recycle_k > 0, GCRODR parity)
+        the solve runs recycled GMRES.  ALWAYS returns
+        ``(result, recycle_out-or-None)`` — fixed arity (the single-device
+        solve_poisson learned this lesson in round 2).
+
+        ``amg = (x_wrapped_global, domain, cutoff)`` enables the DISTRIBUTED
+        AMG preconditioner (solvers/amg.py): slab-local smoothing with halo
+        refresh per sweep + psum-replicated coarse levels — the TPU-native
+        answer to ML's Zoltan-repartitioned hierarchy (precond_ml.h:62-94);
+        else the preconditioner is Jacobi."""
         sc = cfg.solver
         tol = max(sc.tol, 30.0 * float(jnp.finfo(b.dtype).eps))
 
         def mv(x):
             return A.matvec(comm.refresh(x)) * comm.ownedf
 
-        diag_safe = jnp.where(jnp.abs(A.diag) > 0, A.diag, 1.0)
+        if amg is not None and sc.precond == "amg":
+            from isph_tpu.solvers.amg import build_amg
 
-        def M(r):
-            return r / diag_safe * comm.ownedf
+            x_pos, domain, cutoff = amg
+            M = build_amg(
+                A, x_pos, domain, cutoff, null_vec=null_vec,
+                exchange=comm.refresh, owned=comm.ownedf,
+                axis_name=comm.axis,
+            ).apply
+        else:
+            diag_safe = jnp.where(jnp.abs(A.diag) > 0, A.diag, 1.0)
 
+            def M(r):
+                return r / diag_safe * comm.ownedf
+
+        if recycle is not None:
+            from isph_tpu.solvers.krylov import (
+                gmres_recycled, make_null_projector,
+            )
+
+            proj = (make_null_projector(null_vec, comm.axis)
+                    if null_vec is not None else (lambda v: v))
+            res, rec_out = gmres_recycled(
+                lambda v: proj(mv(v)), proj(b), x0, recycle=recycle, M=M,
+                tol=tol, restart=sc.restart, max_restarts=sc.max_restarts,
+                axis_name=comm.axis,
+            )
+            return res, rec_out
         if sc.method == "cg":
             from isph_tpu.solvers.krylov import cg
 
             return cg(mv, b, x0, M=M, tol=tol, maxiter=sc.max_iters,
-                      null_vec=null_vec, axis_name=comm.axis)
+                      null_vec=null_vec, axis_name=comm.axis), None
         if sc.method == "pipelined_cg":
             from isph_tpu.solvers.krylov import pipelined_cg
 
             return pipelined_cg(mv, b, x0, M=M, tol=tol, maxiter=sc.max_iters,
-                                null_vec=null_vec, axis_name=comm.axis)
+                                null_vec=null_vec, axis_name=comm.axis), None
         return gmres(
             mv, b, x0, M=M, tol=tol, restart=sc.restart,
             max_restarts=sc.max_restarts, null_vec=null_vec,
             axis_name=comm.axis,
-        )
+        ), None
 
     # ------------------------------------------------------------------
     def _migrate(self, state: ParticleState, my_lo, my_hi):
@@ -521,6 +656,28 @@ class ShardedSimulation:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
+    def prepare(self, state: ParticleState) -> ParticleState:
+        """Augment a (partitioned) state with every field the configured
+        physics writes (the shard_map in/out state structures must match, so
+        fields the step produces cannot appear from None): the GCRO-DR
+        recycle space (``SolverConfig.recycle_k > 0``), psigrad for PB,
+        phi/phigrad for the applied E-field."""
+        n = state.x.shape[-1]
+        dim = state.dim
+        dtype = state.dtype
+        if self.cfg.solver.recycle_k > 0 and state.solver_cache is None:
+            state = state.replace(solver_cache=init_recycle(
+                self.n_dev * self.n_loc, self.cfg.solver.recycle_k, dtype,
+            ))
+        if self.cfg.pb.enabled and state.psigrad is None:
+            state = state.replace(psigrad=jnp.zeros((dim, n), dtype))
+        if self.cfg.ae.enabled:
+            if state.phi is None:
+                state = state.replace(phi=jnp.zeros((n,), dtype))
+            if state.phigrad is None:
+                state = state.replace(phigrad=jnp.zeros((dim, n), dtype))
+        return state
+
     def make_step(self, state: ParticleState):
         """Build the sharded step closure for a given (already partitioned,
         see :func:`partition_state`) state structure.  All per-step aux

@@ -59,6 +59,8 @@ def solve_poisson_boltzmann(
     psi0_init: Optional[jax.Array] = None,
     mirror: Optional[jax.Array] = None,
     axis_name=None,
+    exchange=None,
+    owned=None,
 ) -> Tuple[jax.Array, jax.Array, NewtonResult]:
     """Newton-Krylov solve of F(psi) = -div(eps grad psi) + kappa^2 s(psi)
     (+ extra manufactured source) = 0 with Dirichlet psi = psi0 on solid.
@@ -67,6 +69,12 @@ def solve_poisson_boltzmann(
     once and reused across Newton iterations with only the diagonal updated
     per iteration, exactly as the reference caches A between computeJacobian
     calls (functor_poisson_boltzmann_jacobian.h:50-65).
+
+    Distributed hooks: ``exchange`` refreshes halo slots of a field (the
+    reference forward-comms Psi inside every computeF,
+    pair_isph_corrected.cpp:447-450, and the Epetra Import runs inside every
+    Jacobian Multiply); ``owned`` (float mask) restricts rows/norms to owned
+    slots.
     """
     dtype = state.dtype
     pb = cfg.pb
@@ -76,6 +84,7 @@ def solve_poisson_boltzmann(
     psi0 = state.psi0 if state.psi0 is not None else jnp.zeros(state.n, dtype)
     eps = state.eps if state.eps is not None else jnp.ones(state.n, dtype)
     fext = extra_f if extra_f is not None else jnp.zeros(state.n, dtype)
+    ex = (lambda f: f) if exchange is None else exchange
 
     # -div(eps grad): alpha=-1, Symmetric family (the reference Jacobian uses
     # LaplacianMatrixSymmetric regardless of the NS operator family,
@@ -87,6 +96,7 @@ def solve_poisson_boltzmann(
     )
 
     def residual(psi):
+        psi = ex(psi)  # comm Psi per computeF (pair_isph_corrected.cpp:447-450)
         g, _ = pb_nonlinearity(psi, kappasq, pb.gamma, pb.is_linearized)
         f_fluid = L.matvec(psi) + g + fext
         f = jnp.where(solid, -psi + psi0, f_fluid)
@@ -102,13 +112,18 @@ def solve_poisson_boltzmann(
         state.psi if state.psi is not None else jnp.zeros(state.n, dtype)
     )
     nw = cfg.newton
+    wrap = None
+    if exchange is not None:
+        ownedf = owned if owned is not None else state.valid.astype(dtype)
+        wrap = lambda mv: (lambda v: mv(ex(v)) * ownedf)
     res = newton_krylov(
         residual, jacobian, x0,
         tol_f=nw.tol_f, tol_update=nw.tol_update, max_iters=nw.max_iters,
         linear_tol=nw.linear_tol, linear_restart=nw.linear_max_iters,
-        axis_name=axis_name,
+        axis_name=axis_name, wrap_matvec=wrap,
+        owned=(owned if exchange is not None else None),
     )
-    psi = res.x
+    psi = ex(res.x)  # comm Psi after the solve (pair_isph.cpp:596-598)
 
     # psi gradient: Symmetric corrected gradient, filter (Fluid, All)
     psigrad = ops.gradient(
@@ -126,6 +141,8 @@ def solve_applied_electric_potential(
     cfg: SimulationConfig,
     *,
     axis_name=None,
+    exchange=None,
+    owned=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Laplace equation div(sigma grad phi) = 0 with Dirichlet rows on the
     buffer kinds (their preset phi) and on solid (phi=0)
@@ -147,12 +164,20 @@ def solve_applied_electric_potential(
     buffer = state.is_kind(Kind.BUFFER_DIRICHLET | Kind.BUFFER_NEUMANN)
     b = jnp.where(buffer & state.valid, phi, 0.0)
 
+    mv, M, x_init = A.matvec, jacobi(A), phi
+    if exchange is not None:
+        ownedf = owned if owned is not None else state.valid.astype(dtype)
+        mv = lambda v: A.matvec(exchange(v)) * ownedf
+        Mj = jacobi(A)
+        M = lambda r: Mj(r) * ownedf
+        b = b * ownedf
+        x_init = phi * ownedf
     res = gmres(
-        A.matvec, b, phi, M=jacobi(A),
+        mv, b, x_init, M=M,
         tol=cfg.solver.tol, restart=cfg.solver.restart,
         max_restarts=cfg.solver.max_restarts, axis_name=axis_name,
     )
-    phi_new = res.x
+    phi_new = res.x if exchange is None else exchange(res.x)
     phigrad = ops.gradient(
         geom, pre.vfrac, pre.Gc, phi_new, family=SYMMETRIC,
         coeff=PairFilter(Kind.FLUID, Kind.ALL).pair(state.kind, geom).astype(dtype) * geom.mask,

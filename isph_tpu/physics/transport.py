@@ -30,13 +30,20 @@ def solute_transport_step(
     cfg: SimulationConfig,
     *,
     axis_name=None,
+    exchange=None,
+    owned=None,
 ) -> Tuple[jax.Array, list]:
     """Advance all enabled species one step; returns (conc (S, N), infos).
 
     Row filter: exact-fluid rows only (FilterMatchBinary(Fluid,
     Fluid - BufferNeumann), functor_solute_transport.h:62-63): columns span
     pure fluid + BufferDirichlet; solid and buffer rows are Dirichlet
-    (diag 1, rhs = current concentration)."""
+    (diag 1, rhs = current concentration).
+
+    ``exchange``/``owned`` are the distributed hooks: halo import inside the
+    Krylov matvec (Epetra Import-in-Multiply) and owned-row masking; the
+    reference forward-comms each species after its solve
+    (pair_isph.cpp:838-842) — callers refresh the returned conc."""
     dtype = state.dtype
     tr = cfg.tr
     dt, theta = cfg.dt, tr.theta
@@ -69,8 +76,16 @@ def solute_transport_step(
         A = A.with_diag(diag).zero_rows(dirich)
         b = jnp.where(dirich, c, c + w)
 
+        mv, M, b_s, x_init = A.matvec, jacobi(A), b, c
+        if exchange is not None:
+            ownedf = owned if owned is not None else state.valid.astype(dtype)
+            mv = lambda v, A=A: A.matvec(exchange(v)) * ownedf
+            Mj = jacobi(A)
+            M = lambda r, Mj=Mj: Mj(r) * ownedf
+            b_s = b * ownedf
+            x_init = c * ownedf
         res = gmres(
-            A.matvec, b, c, M=jacobi(A), tol=cfg.solver.tol,
+            mv, b_s, x_init, M=M, tol=cfg.solver.tol,
             restart=cfg.solver.restart, max_restarts=cfg.solver.max_restarts,
             axis_name=axis_name,
         )

@@ -160,7 +160,7 @@ def make_onehot(agg: jax.Array, nc: int, dtype) -> jax.Array:
 
 def galerkin_coarse(
     A: ELL, agg: jax.Array, fine_x_agg_of_col: jax.Array, grid: CoarseGrid,
-    onehot: Optional[jax.Array] = None,
+    onehot: Optional[jax.Array] = None, axis_name: Optional[str] = None,
 ) -> ELL:
     """A_c = P^T A P for piecewise-constant P over aggregates.
 
@@ -232,6 +232,18 @@ def galerkin_coarse(
         )
         touched = jnp.zeros((nc,), A.vals.dtype).at[agg].add(1.0)
 
+    if axis_name is not None:
+        # distributed fine level: each device contributed its OWNED rows'
+        # partial sums; one psum makes the coarse operator REPLICATED —
+        # identical to the single-device Galerkin because owned rows
+        # partition the global rows (the TPU-native answer to ML's
+        # Zoltan-repartitioned coarse levels, precond_ml.h:62-94)
+        cdiag, cvals, touched = (
+            jax.lax.psum(cdiag, axis_name),
+            jax.lax.psum(cvals, axis_name),
+            jax.lax.psum(touched, axis_name),
+        )
+
     # empty aggregates (zero diag, no entries): pin to identity
     empty = (touched == 0) & (jnp.abs(cdiag) == 0)
     cdiag = jnp.where(empty, 1.0, cdiag)
@@ -258,6 +270,20 @@ class AMG:
     null_vec: Optional[jax.Array] = None  # normalized fine-level null vector
     npre: int = 2
     npost: int = 2
+    # distributed hooks (set by build_amg when axis_name is given): the fine
+    # level is slab-local (owned rows + halo columns, refreshed by
+    # ``exchange`` before every fine matvec); levels >= 1 are REPLICATED on
+    # every device, so the cross-device communication per V-cycle is exactly
+    # npre+npost+1 halo ppermutes and ONE psum (the restriction)
+    exchange: Optional[object] = None
+    ownedf: Optional[jax.Array] = None
+    axis_name: Optional[str] = None
+
+    def _dot(self, a, b):
+        s = (a * b).sum()
+        if self.axis_name is not None:
+            s = jax.lax.psum(s, self.axis_name)
+        return s
 
     def _smooth(self, l: int, A: ELL, x, b, sweeps: int):
         # l1-Jacobi: damp by |diag| + sum_j |offdiag| (with the diagonal's
@@ -265,26 +291,37 @@ class AMG:
         # Neumann boundary rows where plain Jacobi diverges (replaces the
         # reference ML's sym-Gauss-Seidel, which is sequential on TPU)
         dinv = self.dinvs[l]
+        dist = l == 0 and self.exchange is not None
         for _ in range(sweeps):
-            x = x + dinv * (b - A.matvec(x))
+            ax = A.matvec(self.exchange(x)) if dist else A.matvec(x)
+            x = x + dinv * (b - ax)
+            if dist:
+                x = x * self.ownedf
         return x
 
     def _cycle(self, l: int, b):
         A = self.levels[l]
         if l == len(self.levels) - 1:
             return self.coarse_inv @ b
+        dist = l == 0 and self.exchange is not None
         x = self._smooth(l, A, jnp.zeros_like(b), b, self.npre)
-        r = b - A.matvec(x)
+        r = b - (A.matvec(self.exchange(x)) if dist else A.matvec(x))
+        if dist:
+            r = r * self.ownedf
         agg = self.aggs[l]
         oh = self.onehots[l]
         if oh is not None:
             rc = oh @ r
-            xc = self._cycle(l + 1, rc)
-            x = x + xc @ oh
         else:
             rc = jnp.zeros((self.levels[l + 1].n,), b.dtype).at[agg].add(r)
-            xc = self._cycle(l + 1, rc)
-            x = x + xc[agg]
+        if dist:
+            # owned partial restrictions -> replicated coarse residual
+            rc = jax.lax.psum(rc, self.axis_name)
+        xc = self._cycle(l + 1, rc)
+        if oh is not None:
+            x = x + (xc @ oh if not dist else (xc @ oh) * self.ownedf)
+        else:
+            x = x + (xc[agg] if not dist else xc[agg] * self.ownedf)
         x = self._smooth(l, A, x, b, self.npost)
         return x
 
@@ -296,10 +333,10 @@ class AMG:
         restarted GMRES stalls around 1e-4."""
         if self.null_vec is not None:
             nh = self.null_vec
-            r = r - (r @ nh) * nh
+            r = r - self._dot(r, nh) * nh
         x = self._cycle(0, r)
         if self.null_vec is not None:
-            x = x - (x @ nh) * nh
+            x = x - self._dot(x, nh) * nh
         return x
 
     def __call__(self, r):
@@ -320,6 +357,9 @@ def build_amg(
     coarse_reg: float = 1.0e-8,
     onehot_budget: int = 64_000_000,
     null_vec: Optional[jax.Array] = None,
+    exchange=None,
+    owned: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
 ) -> AMG:
     """Assemble the AMG hierarchy for the current matrix/positions.
 
@@ -334,17 +374,27 @@ def build_amg(
     aggs = []
     onehots = []
 
-    def one_level(Af, agg, grid):
+    def one_level(Af, agg, grid, ax=None):
         nc = grid.n
         oh = None
         if nc * Af.n <= onehot_budget:
             oh = make_onehot(agg, nc, dtype)
         col_agg = agg[Af.idx]
-        Ac = galerkin_coarse(Af, agg, col_agg, grid, onehot=oh)
+        Ac = galerkin_coarse(Af, agg, col_agg, grid, onehot=oh, axis_name=ax)
         return Ac, oh
 
     agg0 = _bin_to_grid(x, grids[0])
-    Ac, oh = one_level(A, agg0, grids[0])
+    # Distributed fine level: owned rows only feed the Galerkin partial sums
+    # (halo rows replicate a neighbor device's owned rows and would double
+    # count under the psum); x must carry GLOBAL wrapped coordinates so halo
+    # columns bin to their true aggregates.
+    A_galerkin = A
+    if axis_name is not None and owned is not None:
+        owned_b = owned > 0
+        A_galerkin = A.zero_rows(~owned_b).with_diag(
+            jnp.where(owned_b, A.diag, jnp.zeros_like(A.diag))
+        )
+    Ac, oh = one_level(A_galerkin, agg0, grids[0], ax=axis_name)
     levels.append(Ac)
     aggs.append(agg0)
     onehots.append(oh)
@@ -379,6 +429,8 @@ def build_amg(
     # XLA programs).  Floor against the fine-level diagonal scale, which an
     # assembled Laplacian can never cancel away.
     fine_scale = jnp.abs(levels[0].diag).max()
+    if axis_name is not None:
+        fine_scale = jax.lax.pmax(fine_scale, axis_name)
     scale = jnp.maximum(jnp.abs(Ad).max(), 1e-3 * fine_scale + 1e-30)
     Ad = Ad + reg * scale * jnp.eye(ncoarse, dtype=Ad.dtype)
     if null_vec is not None:
@@ -393,6 +445,10 @@ def build_amg(
 
     nh = None
     if null_vec is not None:
-        nh = null_vec / jnp.maximum(jnp.sqrt((null_vec * null_vec).sum()), 1e-30)
+        nsq = (null_vec * null_vec).sum()
+        if axis_name is not None:
+            nsq = jax.lax.psum(nsq, axis_name)
+        nh = null_vec / jnp.maximum(jnp.sqrt(nsq), 1e-30)
     return AMG(levels=levels, aggs=aggs, dinvs=dinvs, onehots=onehots,
-               coarse_inv=coarse_inv, null_vec=nh, npre=npre, npost=npost)
+               coarse_inv=coarse_inv, null_vec=nh, npre=npre, npost=npost,
+               exchange=exchange, ownedf=owned, axis_name=axis_name)

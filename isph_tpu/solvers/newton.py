@@ -37,7 +37,14 @@ def newton_krylov(
     linear_tol: float = 1.0e-6,
     linear_restart: int = 80,
     axis_name: Optional[str] = None,
+    wrap_matvec: Optional[Callable] = None,
+    owned: Optional[jax.Array] = None,
 ) -> NewtonResult:
+    """``wrap_matvec``/``owned`` are the distributed hooks: the sharded
+    caller wraps the Jacobian matvec with a halo import (Epetra Import
+    inside Multiply) and masks rows to owned slots so every norm counts each
+    particle once (the reference runs the whole NOX solve under MPI with
+    comm inside computeF, pair_isph_corrected.cpp:447-450)."""
     n = x0.shape[0]
 
     def cond(carry):
@@ -49,10 +56,16 @@ def newton_krylov(
         x, it, _, _ = carry
         f = residual(x)
         J = jacobian(x)
+        mv = J.matvec if wrap_matvec is None else wrap_matvec(J.matvec)
+        Mj = jacobi(J)
+        if owned is not None:
+            Mbase = Mj
+            Mj = lambda r: Mbase(r) * owned
+            f = f * owned
         res = gmres(
-            J.matvec,
+            mv,
             -f,
-            M=jacobi(J),
+            M=Mj,
             tol=linear_tol,
             restart=linear_restart,
             max_restarts=1,
@@ -60,7 +73,10 @@ def newton_krylov(
         )
         dx = res.x
         x_new = x + dx
-        nf = _norm(residual(x_new), axis_name)
+        f_new = residual(x_new)
+        if owned is not None:
+            f_new = f_new * owned
+        nf = _norm(f_new, axis_name)
         # scaled update norm (NOX NormUpdate uses a WRMS-like 2-norm)
         nupd = _norm(dx, axis_name) / jnp.sqrt(jnp.asarray(n, x0.dtype))
         return (x_new, it + 1, nf, nupd)

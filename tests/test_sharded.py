@@ -111,3 +111,150 @@ def test_sharded_migration(mesh8):
             assert xs.max() < lo + slab_w + 1e-9
     # total particle count conserved across migrations
     assert valid.sum() == n * n
+
+
+def _match_field(xs, xr, fs, fr):
+    """Sort both sides by position and return matched field arrays."""
+    (a,) = _sorted_by_pos(xs, fs)
+    (b,) = _sorted_by_pos(xr, fr)
+    return a, b
+
+
+@pytest.mark.slow
+def test_sharded_pb_matches_single_device(mesh8):
+    """Distributed Poisson-Boltzmann: the Newton-Krylov solve with per-
+    residual Psi halo comm (pair_isph_corrected.cpp:447-450) must match the
+    single-device solve (round-2 verdict ask #3d)."""
+    from isph_tpu.config import PoissonBoltzmannConfig
+
+    n = 32
+    sim, state = tgv.make_tgv(n, h_factor=1.6)
+    cfg = sim.cfg.replace(
+        pb=PoissonBoltzmannConfig(enabled=True, ezcb=0.5, psiref=1.0, gamma=0.0)
+    )
+    import dataclasses
+
+    sim = dataclasses.replace(sim, cfg=cfg)
+    state = state.replace(
+        eps=jnp.ones(state.n, state.dtype),
+        psi=jnp.zeros(state.n, state.dtype),
+        psi0=0.05 * jnp.sin(state.x[0]),  # nonzero Dirichlet-ish seed field
+    )
+
+    ref_state, _ = sim.run(state, 1)
+
+    n_dev, n_loc = 8, 192
+    ssim = ShardedSimulation(sim=sim, mesh=mesh8, n_loc=n_loc, halo=192,
+                             migrate_cap=32)
+    pstate = ssim.prepare(partition_state(state, sim.domain, n_dev, n_loc))
+    step = jax.jit(ssim.make_step(pstate))
+    pstate, aux = step(pstate)
+    assert int(aux.neighbor_overflow) == 0
+
+    vs = np.asarray(pstate.valid)
+    vr = np.asarray(ref_state.valid)
+    xs = np.asarray(pstate.x)[:, vs]
+    xr = np.asarray(ref_state.x)[:, vr]
+    psi_s, psi_r = _match_field(xs, xr, np.asarray(pstate.psi)[vs],
+                                np.asarray(ref_state.psi)[vr])
+    assert np.max(np.abs(psi_s - psi_r)) < 1e-6
+    # the electrostatic force fed the projection: velocities must agree too
+    v_s, v_r = _match_field(xs, xr, np.asarray(pstate.v)[:, vs],
+                            np.asarray(ref_state.v)[:, vr])
+    assert np.max(np.abs(v_s - v_r)) < 1e-6
+
+
+@pytest.mark.slow
+def test_sharded_transport_matches_single_device(mesh8):
+    """Distributed solute transport with halo import inside the theta-scheme
+    solve and conc comm after it (pair_isph.cpp:838-842)."""
+    import dataclasses
+
+    from isph_tpu.config import SoluteTransportConfig
+
+    n = 32
+    sim, state = tgv.make_tgv(n, h_factor=1.6)
+    cfg = sim.cfg.replace(tr=SoluteTransportConfig(enabled=True, d=(0.3, None)))
+    sim = dataclasses.replace(sim, cfg=cfg)
+    c0 = 1.0 + 0.5 * jnp.sin(state.x[0]) * jnp.cos(state.x[1])
+    state = state.replace(conc=jnp.stack([c0, 0.0 * c0]))
+
+    ref_state, _ = sim.run(state, 2)
+
+    n_dev, n_loc = 8, 192
+    ssim = ShardedSimulation(sim=sim, mesh=mesh8, n_loc=n_loc, halo=192,
+                             migrate_cap=32)
+    pstate = partition_state(state, sim.domain, n_dev, n_loc)
+    step = jax.jit(ssim.make_step(pstate))
+    for _ in range(2):
+        pstate, aux = step(pstate)
+    assert int(aux.neighbor_overflow) == 0
+
+    vs = np.asarray(pstate.valid)
+    vr = np.asarray(ref_state.valid)
+    xs = np.asarray(pstate.x)[:, vs]
+    xr = np.asarray(ref_state.x)[:, vr]
+    c_s, c_r = _match_field(xs, xr, np.asarray(pstate.conc)[0, vs],
+                            np.asarray(ref_state.conc)[0, vr])
+    assert np.max(np.abs(c_s - c_r)) < 1e-6
+
+
+@pytest.mark.slow
+def test_sharded_shift_matches_single_device(mesh8):
+    """Distributed particle shifting: second borders pass at the advanced
+    positions + vmax psum (pair_isph_corrected.cpp:1232-1233)."""
+    n = 32
+    sim, state = tgv.make_tgv(n, h_factor=1.6, shift=0.05)
+
+    ref_state, _ = sim.run(state, 2)
+
+    n_dev, n_loc = 8, 192
+    ssim = ShardedSimulation(sim=sim, mesh=mesh8, n_loc=n_loc, halo=192,
+                             migrate_cap=32)
+    pstate = partition_state(state, sim.domain, n_dev, n_loc)
+    step = jax.jit(ssim.make_step(pstate))
+    for _ in range(2):
+        pstate, aux = step(pstate)
+    assert int(aux.neighbor_overflow) == 0
+
+    vs = np.asarray(pstate.valid)
+    vr = np.asarray(ref_state.valid)
+    assert vs.sum() == vr.sum()
+    xs = np.asarray(pstate.x)[:, vs]
+    xr = np.asarray(ref_state.x)[:, vr]
+    (xs_s,) = _sorted_by_pos(xs, xs)
+    (xr_s,) = _sorted_by_pos(xr, xr)
+    assert np.max(np.abs(xs_s - xr_s)) < 1e-6
+    v_s, v_r = _match_field(xs, xr, np.asarray(pstate.v)[:, vs],
+                            np.asarray(ref_state.v)[:, vr])
+    assert np.max(np.abs(v_s - v_r)) < 1e-6
+
+
+@pytest.mark.slow
+def test_sharded_recycled_poisson(mesh8):
+    """GCRO-DR recycling on the distributed Poisson (SolverConfig.recycle_k):
+    runs, stays accurate, and cuts iterations on steps >= 2."""
+    import dataclasses
+
+    n = 32
+    sim, state = tgv.make_tgv(n, h_factor=1.6)
+    cfg = sim.cfg.replace(
+        solver=dataclasses.replace(sim.cfg.solver, recycle_k=8)
+    )
+    sim = dataclasses.replace(sim, cfg=cfg)
+
+    n_dev, n_loc = 8, 192
+    ssim = ShardedSimulation(sim=sim, mesh=mesh8, n_loc=n_loc, halo=192,
+                             migrate_cap=32)
+    pstate = ssim.prepare(partition_state(state, sim.domain, n_dev, n_loc))
+    step = jax.jit(ssim.make_step(pstate))
+    iters = []
+    for _ in range(3):
+        pstate, aux = step(pstate)
+        iters.append(int(aux.poisson_iters))
+        assert float(aux.poisson_relres) < 1e-6
+    assert int(aux.neighbor_overflow) == 0
+    # the recycled space must not hurt: steps >= 2 take no more inner
+    # iterations than the cold first solve
+    assert iters[2] <= iters[0]
+    assert np.isfinite(float(aux.status.vmax))
