@@ -184,6 +184,13 @@ class MLSConfig:
     basis_order: int = 2
     bdf_order: int = 2
     interpolation: bool = False
+    # ALE compact-Poisson boundary variant (ale-src/functor_ale_incomp_
+    # navier_stokes_compact_poisson_boundary.h): penalty-constrained MLS
+    # Poisson with Neumann wall data; taus are the reference defaults
+    # (pair_isph_mls.cpp:999-1000, pair_isph_mls.h:336-338)
+    compact_poisson: bool = False
+    cp_tau_interior: float = 0.01
+    cp_tau_boundary: float = 0.01
 
 
 @dataclasses.dataclass(frozen=True)

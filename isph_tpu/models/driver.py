@@ -229,6 +229,16 @@ class Simulation:
 
         state, hist = ale.ale_advance(state, hist, cfg, self.domain,
                                       cfg.mls.bdf_order)
+        if cfg.shift.enabled:
+            # FixISPH_Shift::initial_integrate on the ALE scheme:
+            # refreshParticles -> computePre -> ALE apply-shift (xdot
+            # absorbs gamma/dt dr), then the solves re-neighbor below
+            nbrs0 = self.neighbors(state)
+            geom0 = self.geometry(state, nbrs0)
+            state = ale.ale_apply_shift(
+                state, hist, geom0, cfg, self.domain, cfg.mls.bdf_order,
+                axis_name=axis_name,
+            )
         nbrs = self.neighbors(state)
         geom = self.geometry(state, nbrs)
         pre = self.precompute(state, geom)

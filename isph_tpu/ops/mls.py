@@ -370,12 +370,19 @@ def cp_mass_matrix_inverse(
             if b != a:
                 M = M.at[b, a].set(m_ab)
 
-    # Lagrange constraint row/column on boundary rows: n.grad P at self
+    # Lagrange constraint row/column on boundary rows: n.grad P at self.
+    # The constraint is ACTIVE only where the particle has a usable normal —
+    # the reference CP scheme requires single-layer Boundary particles
+    # (functor_ale_...compact_poisson_boundary.h errors out on Solid); thick
+    # solid interiors have normal ~ 0, whose all-zero constraint row would
+    # make the extended Gram matrix singular, so they keep the identity slot.
+    connorm = sum((bnd0[a] * is_bnd_i) ** 2 for a in range(nd))
+    active = is_bnd_i * (connorm > 1e-12).astype(dtype)
     for a in range(nd):
-        con = bnd0[a] * is_bnd_i
+        con = bnd0[a] * active
         M = M.at[a, nd].set(con)
         M = M.at[nd, a].set(con)
-    M = M.at[nd, nd].set(1.0 - is_bnd_i)  # identity slot when unconstrained
+    M = M.at[nd, nd].set(1.0 - active)  # identity slot when unconstrained
 
     # pin non-admitted / lonely rows to identity
     ok = filt.row(kind).astype(dtype) * (geom.mask.sum(axis=0) > 0).astype(dtype)
@@ -435,3 +442,52 @@ def cp_moment_helper(
         rows.append(qa)
     rows.append(g_bnd * is_bnd_i)  # Lagrange RHS
     return jnp.stack(rows)
+
+
+def cp_operator_matrix(
+    basis: MLSBasis,
+    geom: PairGeom,
+    rth: float,
+    kind: jax.Array,
+    filt: PairFilter,
+    Minv_cp: jax.Array,
+    betas: Sequence[Tuple[int, int, int]],
+    *,
+    alpha: float = 1.0,
+    material: Optional[jax.Array] = None,
+) -> ELL:
+    """Rows of sum_beta D^beta through the COMPACT-POISSON mass matrix — the
+    u-dependent part of the penalty-constrained fit (the f/g penalty moments
+    are data, not unknowns, so they belong to the RHS; see
+    functor_mls_laplacian_matrix_compact_poisson.h:20-66 which likewise
+    assembles only the P-moment columns).  Minv_cp is the (NDOF+1, NDOF+1, N)
+    extended inverse from :func:`cp_mass_matrix_inverse`."""
+    dtype = geom.r.dtype
+    nd = basis.ndof
+    P = basis.values(geom, rth)
+    w = mls_weight(geom.r, rth) * filt.pair(kind, geom).astype(dtype) * geom.mask
+    P0 = basis.self_values(dtype)
+    w0 = mls_weight(jnp.zeros((), dtype), rth)
+    rowf = filt.row(kind).astype(dtype)
+    mat = material if material is not None else jnp.ones(geom.n, dtype)
+
+    y = None
+    for b in betas:
+        idx = deriv_index(basis.dim, basis.order, b, basis.interpolation)
+        contrib = jnp.stack(
+            [Minv_cp[idx, a] for a in range(nd)]
+        ) * basis.deriv_scale(b, rth)
+        y = contrib if y is None else y + contrib
+
+    vals = sum(y[a][None, :] * P[a] for a in range(nd)) * w
+    diag = sum(y[a] * P0[a] for a in range(nd)) * w0 * (
+        geom.mask.sum(axis=0) > 0
+    ).astype(dtype)
+    scale = alpha * mat * rowf
+    return ELL(
+        diag=diag * scale,
+        vals=vals * scale[None, :],
+        idx=geom.idx,
+        mask=geom.mask,
+        plan=geom.plan,
+    )

@@ -22,8 +22,10 @@ Then (in the pair compute):
      gamma v* + dt(adv + nu curlcurl v), solid rows identity with wall
      velocity (ale-src/functor_ale_incomp_navier_stokes_helmholtz.h:110-150).
 
-The compact-Poisson boundary variant (cp.*) is a follow-up; this module
-implements the standard path.
+Both the standard Poisson and the compact-Poisson BOUNDARY variant
+(cfg.mls.compact_poisson; ale-src/functor_ale_incomp_navier_stokes_compact_
+poisson_boundary.h) are implemented, plus the ALE shift
+(functor_ale_apply_shift.h).
 """
 
 from __future__ import annotations
@@ -186,23 +188,80 @@ def ale_navier_stokes_step(
 
     # --- step 2: Poisson for p --------------------------------------------
     lap_betas = [(2, 0, 0), (0, 2, 0), (0, 0, 2)][:dim]
-    A = mls.operator_matrix(
-        basis, geom, rth, state.kind, filt_ff, Minv, betas=lap_betas, alpha=-dt
-    )
-    qvs = mls.moment_helper(basis, geom, rth, vstar, state.kind, filt_ff)
-    div_vs = mls.divergence(basis, Minv, qvs, rth)
-    b = jnp.where(fluid, -state.rho * div_vs, 0.0)
-    diag = jnp.where(fluid, A.diag, jnp.asarray(-1.0, dtype))
-    A = A.with_diag(diag).zero_rows(~fluid)
+    if cfg.mls.compact_poisson:
+        # Compact-Poisson BOUNDARY variant (PairISPH_MLS::computeAlePoisson
+        # CP branch, mls-src/pair_isph_mls.cpp:596-641 + ale-src/functor_ale_
+        # incomp_navier_stokes_compact_poisson_boundary.h): solve directly
+        # for p with the penalty-constrained Laplacian that is TOLD the
+        # interior data f = -(gamma/dt) div v* and the wall-Neumann data
+        # g = (gamma/dt)(w - v*).n (stationary walls: w = 0); both fluid and
+        # boundary rows carry the equation.
+        gdt = gamma / dt
+        filt_all = PairFilter(Kind.ALL, Kind.ALL)
+        qvs_all = mls.moment_helper(basis, geom, rth, vstar, state.kind, filt_all)
+        div_all = mls.divergence(basis, Minv, qvs_all, rth)
+        f_data = -gdt * div_all
+        bnd = solid & state.valid
+        vn = sum(vstar[d] * pre.normal[d] for d in range(dim))
+        g_data = jnp.where(bnd, -gdt * vn, 0.0)
 
-    null_vec = None
-    if cfg.ns.singular_poisson == SingularPoisson.NULL_SPACE:
-        null_vec = fluid.astype(dtype)
-    pres = gmres(A.matvec, b, jnp.zeros_like(b), M=jacobi(A),
-                 tol=cfg.solver.tol, restart=cfg.solver.restart,
-                 max_restarts=cfg.solver.max_restarts, null_vec=null_vec,
-                 axis_name=axis_name)
-    p = zero_mean_pressure(pres.x, state, axis_name=axis_name)
+        taus = dict(tau_interior=cfg.mls.cp_tau_interior,
+                    tau_boundary=cfg.mls.cp_tau_boundary)
+        Minv_cp = mls.cp_mass_matrix_inverse(
+            basis, geom, rth, state.kind, filt_all, pre.normal, **taus
+        )
+        rows = (fluid | bnd)
+        inv_rho = 1.0 / state.rho
+        A = mls.cp_operator_matrix(
+            basis, geom, rth, state.kind, filt_all, Minv_cp,
+            betas=lap_betas, alpha=-1.0, material=inv_rho,
+        )
+        # data part of the constrained Laplacian moves to the RHS
+        q_data = mls.cp_moment_helper(
+            basis, geom, rth, jnp.zeros_like(f_data), f_data, g_data,
+            state.kind, filt_all, pre.normal, **taus,
+        )
+        # b = f + alpha*material*Lap(data-part) with alpha=-1 (the reference
+        # stores the penalty laplacian into b via FunctorOuterLaplacian-
+        # CompactPoisson(_u_laplace=b), then the boundary functor adds f)
+        lap_data = mls.laplacian(basis, Minv_cp, q_data, rth)
+        b = jnp.where(rows, f_data - inv_rho * lap_data, 0.0)
+        diag = jnp.where(rows, A.diag, jnp.asarray(-1.0, dtype))
+        A = A.with_diag(diag).zero_rows(~rows)
+        null_vec = None
+        if cfg.ns.singular_poisson == SingularPoisson.NULL_SPACE:
+            null_vec = rows.astype(dtype)
+        pres = gmres(A.matvec, b, jnp.zeros_like(b), M=jacobi(A),
+                     tol=cfg.solver.tol, restart=cfg.solver.restart,
+                     max_restarts=cfg.solver.max_restarts, null_vec=null_vec,
+                     axis_name=axis_name)
+        p = pres.x
+        # zero-mean over the solved rows; invalid slots cleaned
+        rf = rows.astype(dtype)
+        s = (p * rf).sum()
+        c = rf.sum()
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+            c = jax.lax.psum(c, axis_name)
+        p = jnp.where(rows, p - s / jnp.maximum(c, 1.0), 0.0)
+    else:
+        A = mls.operator_matrix(
+            basis, geom, rth, state.kind, filt_ff, Minv, betas=lap_betas, alpha=-dt
+        )
+        qvs = mls.moment_helper(basis, geom, rth, vstar, state.kind, filt_ff)
+        div_vs = mls.divergence(basis, Minv, qvs, rth)
+        b = jnp.where(fluid, -state.rho * div_vs, 0.0)
+        diag = jnp.where(fluid, A.diag, jnp.asarray(-1.0, dtype))
+        A = A.with_diag(diag).zero_rows(~fluid)
+
+        null_vec = None
+        if cfg.ns.singular_poisson == SingularPoisson.NULL_SPACE:
+            null_vec = fluid.astype(dtype)
+        pres = gmres(A.matvec, b, jnp.zeros_like(b), M=jacobi(A),
+                     tol=cfg.solver.tol, restart=cfg.solver.restart,
+                     max_restarts=cfg.solver.max_restarts, null_vec=null_vec,
+                     axis_name=axis_name)
+        p = zero_mean_pressure(pres.x, state, axis_name=axis_name)
 
     # --- step 3: correct ---------------------------------------------------
     qp = mls.moment_helper(basis, geom, rth, p, state.kind, filt_ff)
@@ -240,3 +299,28 @@ def ale_navier_stokes_step(
 
     state = state.replace(v=v_new, vstar=vstar, p=p)
     return state, ALEInfo(poisson=pres, helmholtz=hres)
+
+
+def ale_apply_shift(
+    state: ParticleState,
+    hist: ALEHistory,
+    geom: PairGeom,
+    cfg: SimulationConfig,
+    domain: Domain,
+    order: int,
+    *,
+    axis_name=None,
+) -> ParticleState:
+    """ALE particle shifting (ale-src/functor_ale_apply_shift.h:40-56,
+    driven from FixISPH_Shift::initial_integrate on the ALE scheme): the
+    Fickian shift vectors move x, and xdot — which ``ale_advance`` stored in
+    state.v — absorbs gamma/dt * dr so the BDF position recurrence stays
+    consistent with the shifted trajectory."""
+    from isph_tpu.physics import shift as shift_mod
+
+    dr = shift_mod.compute_shift_vectors(state, geom, cfg, axis_name=axis_name)
+    gamma, _, _ = _weights(hist, order)
+    moving = state.is_fluid & state.valid
+    x_new = domain.wrap(jnp.where(moving[None, :], state.x + dr, state.x))
+    v_new = jnp.where(moving[None, :], state.v + (gamma / cfg.dt) * dr, state.v)
+    return state.replace(x=x_new, v=v_new)

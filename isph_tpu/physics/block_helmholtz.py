@@ -40,7 +40,7 @@ def _row_average_normal(geom: PairGeom, normal: jax.Array) -> jax.Array:
     (functor_laplacian_matrix.h:268-276)."""
     dim = normal.shape[0]
     acc = jnp.stack(
-        [normal[d] + (normal[d][geom.idx] * geom.mask).sum(axis=0) for d in range(dim)]
+        [normal[d] + (geom.gather(normal[d]) * geom.mask).sum(axis=0) for d in range(dim)]
     )
     mag = jnp.sqrt(sum(acc[d] ** 2 for d in range(dim)))
     return jnp.where(mag[None, :] > 0, acc / jnp.maximum(mag, 1e-30)[None, :], 0.0)
@@ -67,14 +67,16 @@ def navier_slip_terms(
     dim = state.dim
     dtype = state.dtype
     n = pre.normal
-    solid_j = ((state.kind[geom.idx] & (Kind.SOLID | Kind.BOUNDARY)) != 0).astype(dtype)
-    fluid_i = state.is_fluid.astype(dtype)
+    solid_j = ((geom.gather(state.kind) & (Kind.SOLID | Kind.BOUNDARY)) != 0).astype(dtype)
+    # rows: Fluid + both buffer kinds (functor_boundary_navier_slip.h:63-66)
+    rowset = Kind.FLUID | Kind.BUFFER_DIRICHLET | Kind.BUFFER_NEUMANN
+    fluid_i = ((state.kind & rowset) != 0).astype(dtype)
     pairm = solid_j * fluid_i[None, :] * geom.mask
 
     gr = _g_dot_r(pre.Gc, geom.rij)  # (D, K, N): Gc_i r_ij
-    nsum = jnp.stack([n[d][None, :] + n[d][geom.idx] for d in range(dim)])
+    nsum = jnp.stack([n[d][None, :] + geom.gather(n[d]) for d in range(dim)])
     tmp = sum(nsum[d] * gr[d] for d in range(dim))
-    robin = beta * geom.dwdr / geom.r * pre.vfrac[geom.idx] / state.rho[None, :] * tmp * pairm
+    robin = beta * geom.dwdr / geom.r * geom.gather(pre.vfrac) / state.rho[None, :] * tmp * pairm
     diag = -robin.sum(axis=0) * fluid_i
     vals = robin if add_neumann else jnp.zeros_like(robin)
     return diag, vals

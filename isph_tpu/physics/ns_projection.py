@@ -20,6 +20,7 @@ Layout: vectors are (D, N), see state.py.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -82,9 +83,18 @@ def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=Non
         x_pos, domain, cutoff = amg
         M = build_amg(A, x_pos, domain, cutoff, null_vec=null_vec).apply
     elif sc.precond == "ilu":
-        from isph_tpu.solvers.ilu import ilu0
+        if null_vec is not None:
+            # ILU(0) of a singular pure-Neumann operator has a near-zero
+            # pivot chain and stalls restarted GMRES near 1e-1 (measured;
+            # deflating around the apply does not help).  The reference
+            # never pairs Ifpack with the singular Poisson either — its
+            # decks use ML there (precond_ml.h setNullVector) — so the
+            # singular solve falls back to Jacobi.
+            M = jacobi(A)
+        else:
+            from isph_tpu.solvers.ilu import ilu0
 
-        M = ilu0(A)
+            M = ilu0(A)
     elif sc.precond in ("jacobi", "amg"):
         M = jacobi(A)
     else:
@@ -119,13 +129,22 @@ def _fluid_pair_coeff(state: ParticleState, geom: PairGeom, jset: int) -> jax.Ar
 
 
 def _mirror(state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig):
-    """Morris-Holmes mirror coefficients (K, N) when that wall treatment is
-    selected, else None (MirrorNothing)."""
-    if cfg.ns.boundary != BoundaryCond.MORRIS_HOLMES:
-        return None
-    return ops.morris_holmes_mirror(
-        geom, state.kind, pre.pnd, pre.vfrac, cfg.cut, cfg.h
-    )
+    """Wall-mirroring coefficients (K, N) per the configured treatment:
+    MorrisHolmes (pnd wall distances, mirror_morris_holmes.h:47-53),
+    MorrisNormal (interface-normal boundary coordinate,
+    mirror_morris_normal.h:41-57), else None — ConstExtension/NavierSlip/
+    Neumann all assemble with MirrorNothing (pair_isph_corrected.cpp:868-937
+    routes them through the plain Helmholtz functor)."""
+    if cfg.ns.boundary == BoundaryCond.MORRIS_HOLMES:
+        return ops.morris_holmes_mirror(
+            geom, state.kind, pre.pnd, pre.vfrac, cfg.cut, cfg.h
+        )
+    if cfg.ns.boundary == BoundaryCond.MORRIS_NORMAL:
+        bd = ops.boundary_coordinate(geom, state.x, pre.normal, state.kind)
+        return ops.morris_normal_mirror(
+            geom, state.x, pre.normal, bd, cfg.cut, cfg.h
+        )
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +196,20 @@ def helmholtz_system(
     solid = state.is_solid
     diag = jnp.where(solid, jnp.asarray(1.0, dtype), 1.0 + A.diag)
     A = A.with_diag(diag).zero_rows(solid)
+
+    # Navier-slip Robin rows in the SCALAR path: added to the final A after
+    # scaling, exactly as FunctorBoundaryNavierSlip modifies A.crs post-
+    # assembly (pair_isph_corrected.cpp:917-923,
+    # functor_boundary_navier_slip.h:135-190); the same scalar row goes into
+    # every velocity component's system.  The block path instead projects
+    # these terms onto wall-normal coupling blocks (physics/block_helmholtz).
+    if cfg.ns.boundary == BoundaryCond.NAVIER_SLIP and cfg.ns.beta != 0.0:
+        from isph_tpu.physics.block_helmholtz import navier_slip_terms
+
+        sdiag, svals = navier_slip_terms(
+            state, geom, pre, cfg.ns.beta, add_neumann=True
+        )
+        A = dataclasses.replace(A, diag=A.diag + sdiag, vals=A.vals + svals)
     return A, b
 
 

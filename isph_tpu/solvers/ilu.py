@@ -25,6 +25,14 @@ The row-i/row-j pattern intersection needed by the factorization sweeps uses
 the symmetry of SPH neighbor graphs (j in row_i  <=>  i in row_j), so column
 accesses are gathers of rows.  Work is O(K^3 N) per sweep done as one
 ``lax.scan`` over slot pairs — setup cost comparable to one AMG setup.
+
+PRODUCTION ROLE: selectable with ``SolverConfig.precond = "ilu"`` on every
+single-device solve (ns_projection._solve) — the Ifpack-compatibility rung
+for configs that ask for it.  It is NOT the default anywhere: the O(K^3 N)
+setup repeats every step while l1-Jacobi/AMG setups are cheap/hoisted, so
+jacobi (Helmholtz-type systems) and amg (Poisson) win on TPU; see
+tests/test_solvers.py::test_ilu_preconditions_the_tgv_step for the wired
+end-to-end path.
 """
 
 from __future__ import annotations

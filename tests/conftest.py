@@ -20,3 +20,28 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running regression (convergence orders, large lattices); "
+        "skipped by default — enable with --runslow (keeps the default suite "
+        "under the run-every-commit budget)",
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow; use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -73,3 +73,72 @@ def test_ale_tgv_stable_and_accurate():
 
     vnorm = 0.1 * np.exp(-2 * 0.1 * cfg.dt * 5) / 2**0.5 * 0.1 ** 0  # ~O(0.07)
     assert max(verrs) < 1e-3, verrs  # <~1% of the velocity scale, no blow-up
+
+
+@pytest.mark.slow
+def test_ale_compact_poisson_boundary_variant():
+    """ALE compact-Poisson boundary Poisson (cfg.mls.compact_poisson;
+    ale-src/functor_ale_incomp_navier_stokes_compact_poisson_boundary.h,
+    mls-src/pair_isph_mls.cpp:596-641) on the wall-bounded flagship MLS
+    problem: converges, stays finite, and tracks the standard-path bulk
+    dynamics (the wall treatment legitimately differs near the cylinder)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from isph_tpu.models.decks import build_deck
+
+    def run(compact):
+        sim, state = build_deck("flow-past-cylinder-2d-mls", n=24)
+        cfg = sim.cfg.replace(
+            mls=dataclasses.replace(sim.cfg.mls, compact_poisson=compact)
+        )
+        sim = dataclasses.replace(sim, cfg=cfg)
+        state = sim.prepare(state)
+        step = jax.jit(sim.step_fn())
+        for _ in range(3):
+            state, aux = step(state)
+        return state, aux
+
+    s_std, a_std = run(False)
+    s_cp, a_cp = run(True)
+    assert float(a_cp.poisson_relres) < 1e-7
+    assert bool(jnp.isfinite(s_cp.v).all() & jnp.isfinite(s_cp.p).all())
+    vmax_std = float(a_std.status.vmax)
+    vmax_cp = float(a_cp.status.vmax)
+    assert abs(vmax_cp / vmax_std - 1.0) < 0.2, (vmax_std, vmax_cp)
+    # bulk L2 agreement (pointwise near-cylinder values may differ by design)
+    dv = np.asarray(s_cp.v - s_std.v)
+    vn = np.asarray(s_std.v)
+    assert np.sqrt((dv**2).sum() / max((vn**2).sum(), 1e-30)) < 0.5
+
+
+def test_ale_shift_keeps_flow_stable():
+    """ALE apply-shift (ale-src/functor_ale_apply_shift.h: x += dr,
+    xdot += gamma/dt dr) through the mls_ale driver: lattice stays regular
+    and the bulk dynamics track the unshifted run."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from isph_tpu.models.decks import build_deck
+
+    sim, state = build_deck("flow-past-cylinder-2d-mls", n=24)
+    cfg = sim.cfg.replace(
+        shift=dataclasses.replace(sim.cfg.shift, enabled=True, shift=0.02)
+    )
+    sims = dataclasses.replace(sim, cfg=cfg)
+    s = sims.prepare(state)
+    step = jax.jit(sims.step_fn())
+    for _ in range(3):
+        s, aux = step(s)
+    assert bool(jnp.isfinite(s.x).all() & jnp.isfinite(s.v).all())
+    assert int(aux.neighbor_overflow) == 0
+    s0 = sim.prepare(state)
+    step0 = jax.jit(sim.step_fn())
+    for _ in range(3):
+        s0, aux0 = step0(s0)
+    assert abs(float(aux.status.vmax) / float(aux0.status.vmax) - 1.0) < 0.1

@@ -64,3 +64,130 @@ def test_poiseuille_with_shift():
     err, norm = channel.velocity_error(state, t)
     assert int(aux.neighbor_overflow) == 0
     assert float(err / norm) < 0.05
+
+
+def test_morris_normal_poiseuille_profile():
+    """MorrisNormal walls (mirror_morris_normal.h:41-57, wired through
+    BoundaryCond.MORRIS_NORMAL — round-2 verdict ask #4): on a flat channel
+    the interface-normal mirror must resolve the transient Poiseuille profile
+    about as well as MorrisHolmes."""
+    import dataclasses
+
+    from isph_tpu.config import BoundaryCond
+
+    sim, state = channel.make_channel(32)
+    cfg = sim.cfg.replace(
+        ns=dataclasses.replace(sim.cfg.ns, boundary=BoundaryCond.MORRIS_NORMAL)
+    )
+    sim = dataclasses.replace(sim, cfg=cfg)
+    nsteps = 10
+    state, aux = _run(sim, state, nsteps)
+    t = sim.cfg.dt * nsteps
+    err, norm = channel.velocity_error(state, t, flow="poiseuille")
+    assert float(aux.poisson_relres) < 1e-7
+    assert float(err / norm) < 0.03, (float(err), float(norm))
+
+
+def test_const_extension_poiseuille_runs():
+    """ConstExtension (pair_isph.h:120-127, the reference default wall
+    treatment = plain extension of wall values, MirrorNothing): stays stable
+    and resolves the transient to a looser band than the Morris mirrors."""
+    import dataclasses
+
+    from isph_tpu.config import BoundaryCond
+
+    sim, state = channel.make_channel(32)
+    cfg = sim.cfg.replace(
+        ns=dataclasses.replace(sim.cfg.ns, boundary=BoundaryCond.CONST_EXTENSION)
+    )
+    sim = dataclasses.replace(sim, cfg=cfg)
+    state, aux = _run(sim, state, 10)
+    t = sim.cfg.dt * 10
+    err, norm = channel.velocity_error(state, t, flow="poiseuille")
+    assert float(aux.poisson_relres) < 1e-7
+    assert float(err / norm) < 0.10, (float(err), float(norm))
+
+
+def test_navier_slip_scalar_rows_monotone_in_beta():
+    """Scalar-path Navier-slip Robin rows (functor_boundary_navier_slip.h:
+    135-190 added post-assembly, pair_isph_corrected.cpp:917-923): larger
+    beta = more wall friction = slower flow; beta=0 degenerates to the
+    ConstExtension assembly."""
+    import dataclasses
+
+    from isph_tpu.config import BoundaryCond
+
+    kes = {}
+    for beta in (0.0, 5.0, 500.0):
+        sim, state = channel.make_channel(16)
+        cfg = sim.cfg.replace(
+            ns=dataclasses.replace(
+                sim.cfg.ns, boundary=BoundaryCond.NAVIER_SLIP, beta=beta
+            )
+        )
+        sim = dataclasses.replace(sim, cfg=cfg)
+        state, aux = _run(sim, state, 8)
+        assert bool(jnp.isfinite(state.v).all())
+        fluid = np.asarray(state.is_fluid & state.valid)
+        ke = float((np.asarray(state.v)[:, fluid] ** 2).sum())
+        kes[beta] = ke
+    assert kes[0.0] > kes[5.0] > kes[500.0], kes
+
+    # beta=0 must coincide with ConstExtension exactly (no Robin rows added)
+    sim, state = channel.make_channel(16)
+    cfg = sim.cfg.replace(
+        ns=dataclasses.replace(sim.cfg.ns, boundary=BoundaryCond.CONST_EXTENSION)
+    )
+    simc = dataclasses.replace(sim, cfg=cfg)
+    sc, _ = _run(simc, state, 8)
+    cfg = sim.cfg.replace(
+        ns=dataclasses.replace(
+            sim.cfg.ns, boundary=BoundaryCond.NAVIER_SLIP, beta=0.0
+        )
+    )
+    sims = dataclasses.replace(sim, cfg=cfg)
+    ss, _ = _run(sims, state, 8)
+    np.testing.assert_allclose(np.asarray(ss.v), np.asarray(sc.v), atol=1e-12)
+
+
+@pytest.mark.slow
+def test_navier_slip_slip_length_scales_inversely_with_beta():
+    """The emergent slip length lambda = u_wall / (du/dn)_wall must scale
+    ~1/beta (the Robin condition -du/dn = beta_eff u): measured as the ratio
+    of near-wall to mid-gap velocities after identical runs at beta and
+    10*beta."""
+    import dataclasses
+
+    from isph_tpu.config import BoundaryCond
+
+    def slip_ratio(beta):
+        sim, state = channel.make_channel(16)
+        cfg = sim.cfg.replace(
+            ns=dataclasses.replace(
+                sim.cfg.ns, boundary=BoundaryCond.NAVIER_SLIP, beta=beta
+            )
+        )
+        sim = dataclasses.replace(sim, cfg=cfg)
+        state, _ = _run(sim, state, 20)
+        xs = np.asarray(state.x)
+        v = np.asarray(state.v)
+        fluid = np.asarray(state.is_fluid & state.valid)
+        y = xs[1, fluid]
+        u = v[0, fluid]
+        # wall band = outermost 15% of the gap, center band = middle 20%
+        yr = np.abs(y - y.mean())  # radius from the channel centerline
+        wall = yr > 0.85 * yr.max()
+        mid = yr < 0.2 * yr.max()
+        return u[wall].mean() / u[mid].mean()
+
+    r_small = slip_ratio(0.1)
+    r_mid = slip_ratio(1.0)
+    r_big = slip_ratio(50.0)
+    # more slip (small beta) => flatter profile => wall/mid ratio nearer 1;
+    # the discrete Robin coefficient is ~beta*|W'|*V/(r*rho), so beta=50 is
+    # deep in the no-slip regime (measured ratios ~0.27 / 0.06 / 0.001;
+    # note the beta->0 limit is the ConstExtension baseline ~0.53, not free
+    # slip — the corrected-gradient consistency terms already couple to the
+    # stationary wall)
+    assert r_small > 2.0 * r_mid > 4.0 * r_big, (r_small, r_mid, r_big)
+    assert r_big < 0.1 * r_small, (r_small, r_big)

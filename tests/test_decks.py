@@ -264,3 +264,43 @@ def test_run_adaptive_cfl():
     state, aux, dt = sim.run_adaptive(state, 5, cfl=0.5, dx=dx, umin=1e-3)
     assert dt > 0 and np.isfinite(dt)
     assert float(aux.status.vmax) < 0.11
+
+
+@pytest.mark.slow
+def test_flow_past_cylinder_runs_and_produces_drag():
+    """The flagship MLS/ALE problem end-to-end (round-2 verdict ask #5):
+    20 steps of the periodic cylinder array, drag/lift via the traction sum
+    (compute_isph_status_flow_past_cylinder.cpp:156-195).  The drag golden
+    band is this framework's own recorded value at n=32 (the reference
+    publishes no number for this configuration); lift vanishes by symmetry.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from isph_tpu.models.decks import build_deck
+    from isph_tpu.physics.diagnostics import drag_lift
+
+    sim, state = build_deck("flow-past-cylinder-2d-mls", n=32)
+    state = sim.prepare(state)
+    step = jax.jit(sim.step_fn())
+    aux = None
+    for _ in range(20):
+        state, aux = step(state)
+    assert bool(jnp.isfinite(state.v).all() & jnp.isfinite(state.p).all())
+    assert float(aux.poisson_relres) < 1e-6
+    assert int(aux.neighbor_overflow) == 0
+
+    nbrs = sim.neighbors(state)
+    geom = sim.geometry(state, nbrs)
+    pre = sim.precompute(state, geom)
+    cd, cl = drag_lift(state, geom, pre, sim.cfg, state.is_solid)
+    cd, cl = float(cd), float(cl)
+    # flow is driven along +x; the cylinder resists it: positive drag, and
+    # lift cancels by top-bottom symmetry of the lattice
+    assert cd > 0.0, cd
+    assert abs(cl) < 0.05 * abs(cd), (cd, cl)
+    # regression golden (recorded from this framework at n=32, 20 steps:
+    # Cd = 1.85619, Cl ~ 5e-13; the reference publishes no value for the
+    # periodic array configuration)
+    assert abs(cd / 1.8561873826547262 - 1.0) < 2e-2, cd
