@@ -5,6 +5,13 @@ solver_nox_impl.h, solver_nox_stratimikos.h): full-step Newton with analytic
 Jacobian reassembly each iteration, inner GMRES at loose tolerance, and the
 reference's combo stopping test NormF<=tol_f AND NormUpdate<=tol_update OR
 max iterations (solver_nox_impl.h:125-153).
+
+Jacobian modes (reference solver_nox.h:30 Analytic/MatrixFree/FiniteDifference):
+pass ``jacobian`` for the Analytic mode; pass ``jacobian=None`` for the
+matrix-free mode, where the Jacobian-vector product is taken by forward-mode
+AD of the residual (``jax.linearize``) — exact to roundoff, so it subsumes
+the reference's finite-difference perturbation variant
+(solver_nox_aztecOO.h:34-123) without a step-size parameter.
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ class NewtonResult(NamedTuple):
 
 def newton_krylov(
     residual: Callable,  # x -> F(x)
-    jacobian: Callable,  # x -> ELL (analytic Jacobian, reassembled per iter)
+    jacobian: Optional[Callable],  # x -> ELL analytic Jacobian, or None = matrix-free (jvp)
     x0: jax.Array,
     *,
     tol_f: float = 1.0e-8,
@@ -54,10 +61,19 @@ def newton_krylov(
 
     def body(carry):
         x, it, _, _ = carry
-        f = residual(x)
-        J = jacobian(x)
-        mv = J.matvec if wrap_matvec is None else wrap_matvec(J.matvec)
-        Mj = jacobi(J)
+        if jacobian is None:
+            # MatrixFree: J(x)·v by forward-mode AD of the residual; the
+            # linearization is taken once per Newton iteration and reused
+            # across all inner GMRES matvecs (NOX MatrixFree re-evaluates the
+            # residual per product; AD is both exact and cheaper here).
+            f, mv0 = jax.linearize(residual, x)
+            mv = mv0 if wrap_matvec is None else wrap_matvec(mv0)
+            Mj = lambda r: r  # unpreconditioned (no assembled diagonal)
+        else:
+            f = residual(x)
+            J = jacobian(x)
+            mv = J.matvec if wrap_matvec is None else wrap_matvec(J.matvec)
+            Mj = jacobi(J)
         if owned is not None:
             Mbase = Mj
             Mj = lambda r: Mbase(r) * owned

@@ -131,6 +131,22 @@ def test_newton_krylov_scalar_like():
     np.testing.assert_allclose(np.asarray(res.x), 2.0, atol=1e-8)
 
 
+def test_newton_krylov_matrix_free():
+    """MatrixFree Jacobian mode (reference solver_nox.h:30,
+    solver_nox_aztecOO.h:34-123): jacobian=None takes J·v by forward-mode AD
+    of the residual.  Coupled nonlinear system so the Jacobian is genuinely
+    non-diagonal: F_i(x) = x_i^2 + 0.5*x_{i+1} - 4 - 0.5*2 (x = 2 is a root)."""
+    n = 8
+
+    def residual(x):
+        return x * x + 0.5 * jnp.roll(x, -1) - 5.0
+
+    x0 = jnp.full((n,), 3.0)
+    res = newton_krylov(residual, None, x0, tol_f=1e-10, tol_update=1e-8)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), 2.0, atol=1e-8)
+
+
 # ---------------------------------------------------------------------------
 # ILU(0) (Ifpack parity, precond_ifpack.h) — Chow–Patel sweeps + Jacobi solves
 # ---------------------------------------------------------------------------
