@@ -157,6 +157,52 @@ class AnalyticErrorFix:
             out.update({"err.p.norm2": err, "sol.p.norm2": sol, "rel.p": rel})
         return out
 
+    def as_modifier(self, region=None):
+        """FixISPH_Analytic / functor_exact_solution parity: a
+        ``Simulation.modifier`` that OVERWRITES fields from the analytic
+        expressions every step (fix_isph_analytic.cpp drives fields with
+        time-dependent expressions; ``Use Exact Solution``,
+        pair_isph.cpp:1444 + functor_exact_solution.h, short-circuits the
+        solves the same way when the physics flags are disabled).
+
+        ``region(x) -> bool (N,)`` optionally restricts the overwrite (the
+        fix's region argument); fields outside keep their computed values.
+        Recognized keys: u.x/u.y/u.z -> v rows, p, psi, phi.
+        """
+        def modifier(state: ParticleState, t):
+            variables = self._vars(state, t)
+            keep = None
+            if region is not None:
+                inside = region(state.x)
+                keep = ~(inside & state.valid)
+
+            def put(cur, new):
+                if new is None:
+                    return cur
+                new = jnp.broadcast_to(
+                    jnp.asarray(new, state.dtype), cur.shape
+                )
+                return jnp.where(keep, cur, new) if keep is not None else new
+
+            v = state.v
+            rows = [self._eval(k, variables)
+                    for k in ("u.x", "u.y", "u.z")[: state.dim]]
+            if any(r is not None for r in rows):
+                v = jnp.stack([
+                    put(v[d], rows[d]) for d in range(state.dim)
+                ])
+            out = state.replace(
+                v=v,
+                p=put(state.p, self._eval("p", variables)),
+            )
+            if state.psi is not None:
+                out = out.replace(psi=put(state.psi, self._eval("psi", variables)))
+            if state.phi is not None:
+                out = out.replace(phi=put(state.phi, self._eval("phi", variables)))
+            return out
+
+        return modifier
+
     def poisson_boltzmann_error(
         self, state: ParticleState, t=0.0, *, axis_name: Optional[str] = None
     ) -> Dict[str, jax.Array]:

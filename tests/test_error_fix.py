@@ -82,6 +82,32 @@ def test_ns_error_matches_tgv_fixture():
     )
 
 
+def test_analytic_modifier_drives_fields():
+    """FixISPH_Analytic parity: as_modifier() overwrites velocity/pressure
+    from the expressions at the step's time, honoring a region mask."""
+    import jax.numpy as jnp
+
+    sim, state = tgv.make_tgv(8)
+    fix = AnalyticErrorFix.from_function_list(
+        TGV_FUNCS, consts={"umax": 0.1, "nu": 0.1, "rho": 1.0}
+    )
+    mod = fix.as_modifier()
+    t = 0.37
+    st = mod(state, t)
+    uex, pex = tgv.exact_solution(state.x, t)
+    np.testing.assert_allclose(np.asarray(st.v), np.asarray(uex), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.p), np.asarray(pex), rtol=1e-12, atol=1e-15)
+
+    # region-restricted: only x0 > 0 overwritten
+    mod2 = fix.as_modifier(region=lambda x: x[0] > 0.0)
+    st2 = mod2(state, t)
+    inside = np.asarray(state.x[0] > 0.0)
+    np.testing.assert_allclose(np.asarray(st2.p)[inside],
+                               np.asarray(pex)[inside], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(st2.p)[~inside],
+                               np.asarray(state.p)[~inside], rtol=1e-12)
+
+
 def test_pb_error_against_harmonic_golden():
     """PB-harmonic via the generic fix reproduces the recorded golden
     (conv-poisson-boltzmann-harmonic-2d-rev390.txt:12-23, N=32 -> 3.706e-3)."""
