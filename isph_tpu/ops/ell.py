@@ -52,7 +52,13 @@ class ELL:
     def matvec(self, x: jax.Array) -> jax.Array:
         """x: (N,) -> (N,); or (d, N) multivector -> (d, N) (the reference
         solves the Helmholtz system as an [nlocal x dim] Belos multivector,
-        pair_isph.cpp:936)."""
+        pair_isph.cpp:936).
+
+        INVARIANT: ``vals`` holds exact zeros on masked slots — every
+        constructor multiplies by the pair mask at assembly (assembly runs
+        once per step; matvec runs hundreds of times inside Krylov scans,
+        where the (K, N) ``vals*mask`` product was measured to cost ~30% of
+        SpMV wall because XLA does not hoist it out of the scan)."""
         if (
             self.plan is not None
             and x.dtype == jnp.float32
@@ -62,11 +68,10 @@ class ELL:
 
             # (d, N) multivectors go through in ONE kernel call: the vals/idx
             # tiles are read from HBM once and reused across components
-            return spmv(self.plan, self.diag, self.vals * self.mask, self.idx, x)
-        vm = self.vals * self.mask
+            return spmv(self.plan, self.diag, self.vals, self.idx, x)
         if x.ndim == 1:
-            return self.diag * x + (vm * x[self.idx]).sum(axis=0)
-        return self.diag[None, :] * x + (vm[None, :, :] * x[:, self.idx]).sum(axis=1)
+            return self.diag * x + (self.vals * x[self.idx]).sum(axis=0)
+        return self.diag[None, :] * x + (self.vals[None, :, :] * x[:, self.idx]).sum(axis=1)
 
     def __matmul__(self, x: jax.Array) -> jax.Array:
         return self.matvec(x)

@@ -20,16 +20,23 @@ that burned ``max_chunks`` VPU select passes on every nonzero):
   ``idx[8g:8g+8, 128t:128(t+1)]`` (static width ``max_chunks``, live count
   per group) — measured mean ~3 chunks/group on the TGV lattice vs the ~11
   chunks a whole (K,128) tile touches.
-- The kernel keeps x resident in VMEM; per (group, tile) a ``fori_loop``
-  over the LIVE chunk count (dead plan slots cost nothing) dynamic-slices
-  the 128-wide chunk, broadcasts across the 8 sublanes, does one
+- The kernel keeps x resident in VMEM; per (group, tile) a static unroll
+  over the plan's chunk slots dynamic-slices the 128-wide chunk, does one
   ``take_along_axis``, and select-merges by membership.  Multivector inputs
   (C, N) reuse the vals/idx tiles across components (the Helmholtz system is
   solved as an [N x dim] multivector, pair_isph.cpp:936).
 
-Cost per nonzero ~ (mean chunks/group) * ~5 VPU ops + 8 B HBM (vals+idx; x
-is reused from VMEM) — versus 12 B minimum for a gather-from-HBM
-formulation, and versus ``max_chunks`` passes in v1.
+v3 (pass-encoded int16 indices — measured v2.1 at ~50% of HBM bandwidth,
+with the idx stream a major term): the kernel never needs the global column
+index — only (a) which plan slot (pass) covers the element and (b) the
+chunk-local lane.  Both fit 16 bits for ANY particle count:
+``enc = pass*128 + lane`` (pass < 16, dead elements get enc=0x7fff).  This
+halves the index stream (2 B/nnz) AND turns the per-pass membership test
+into a compare against a constant (no scid SMEM reads on the hot path).
+
+Cost per nonzero ~ (mean chunks/group) * ~4 VPU ops + 6 B HBM (vals f32 +
+enc i16; x is reused from VMEM) — versus 12 B minimum for a
+gather-from-HBM formulation.
 
 Limits: N <= ~2M particles per chip for x to sit in VMEM (beyond that, a
 double-buffered HBM variant is needed); f32/i32 on TPU.  The pure-XLA
@@ -77,6 +84,10 @@ class GatherPlan:
     cstart: jax.Array  # (ntiles, ngroups, max(mc)) int32, clamped >= 0
     counts: jax.Array  # (ntiles, ngroups) int32
     overflow: jax.Array  # () int32
+    # pass-encoded element indices: enc[k,i] = p*128 + (idx[k,i] % 128) where
+    # p is the plan slot of (k//8, i//128) whose chunk holds idx[k,i]; dead
+    # (uncovered / overflowed) elements hold 0x7fff so no pass selects them
+    enc: jax.Array = None  # (K, N) int16
     mc: tuple = ()  # static per-rank unroll widths (len = ngroups)
 
     @property
@@ -85,9 +96,11 @@ class GatherPlan:
 
 
 jax.tree_util.register_dataclass(
-    GatherPlan, data_fields=["scid", "cstart", "counts", "overflow"],
+    GatherPlan, data_fields=["scid", "cstart", "counts", "overflow", "enc"],
     meta_fields=["mc"],
 )
+
+_DEAD_ENC = 0x7FFF  # pass 255: never swept (mc <= 16), sentinel for dead slots
 
 
 def make_gather_plan(idx: jax.Array, max_chunks) -> GatherPlan:
@@ -132,39 +145,68 @@ def make_gather_plan(idx: jax.Array, max_chunks) -> GatherPlan:
     nuniq2 = nuniq.reshape(ntiles, ngroups)
     mc_arr = jnp.asarray(mc, jnp.int32)[None, :]
     overflow = jnp.maximum(nuniq2 - mc_arr, 0).max().astype(jnp.int32)
+
+    # pass-encode every element: pid = position of its chunk in the group's
+    # slot list (matches are unique — scid rows are ascending-unique), lane =
+    # idx % 128; uncovered elements (only possible on plan overflow) get the
+    # dead sentinel.  int16 halves the kernel's index stream and the compare
+    # target becomes the unroll constant.  Accumulated slot-by-slot so the
+    # peak intermediate stays (R, GC) — no (R, GC, max_chunks) blowup.
+    scid2 = scid.reshape(-1, max_chunks)
+    pid = jnp.full(per_group.shape, 255, jnp.int32)
+    for c in range(max_chunks):
+        pid = jnp.where(per_group == scid2[:, c:c + 1], c, pid)
+    # guard per-rank width: a match at slot p >= mc[g] is never swept — dead
+    rank_mc = jnp.broadcast_to(
+        jnp.asarray(mc, jnp.int32)[None, :, None, None],
+        (ntiles, ngroups, GROUP, CHUNK),
+    ).reshape(pid.shape)
+    lane = (
+        (idx & (CHUNK - 1)).astype(jnp.int32)
+        .reshape(ngroups, GROUP, ntiles, CHUNK)
+        .transpose(2, 0, 1, 3)
+        .reshape(ntiles * ngroups, GROUP * CHUNK)
+    )
+    enc_rg = jnp.where(pid < rank_mc, pid * CHUNK + lane, _DEAD_ENC)
+    enc = (
+        enc_rg.reshape(ntiles, ngroups, GROUP, CHUNK)
+        .transpose(1, 2, 0, 3)
+        .reshape(K, n)
+        .astype(jnp.int16)
+    )
     return GatherPlan(
         scid=scid.reshape(ntiles, ngroups, max_chunks),
         cstart=cstart.reshape(ntiles, ngroups, max_chunks),
         counts=jnp.minimum(nuniq2, mc_arr),
         overflow=overflow,
+        enc=enc,
         mc=mc,
     )
 
 
-def _group_gather(x8_ref, idx_g, gidx, scid_ref, cstart_ref, ncomp, mc_g,
-                  max_chunks):
-    """Gather x[c][idx_g] for all components c via the (C*8, N) broadcast
+def _group_gather(x8_ref, enc_g, gidx, cstart_ref, ncomp, mc_g, max_chunks):
+    """Gather x[c][idx] for all components c via the (C*8, N) broadcast
     scratch (each component's vector replicated across 8 sublanes, so every
     pass is a direct (8, 128) load + lane permute — no per-pass broadcast).
 
-    idx_g: (GROUP, CHUNK) int32.  ``gidx`` is the flat (tile, group) index
-    into the 1-D plan arrays (SMEM prefetch operands pad their minor
-    dimension to 128 lanes, so the plan is passed flattened).  Returns a
-    tuple of ncomp (GROUP, CHUNK) arrays (zeros where no chunk matched —
-    only possible on plan overflow).
+    enc_g: (GROUP, CHUNK) int32 pass-encoded indices (pass*128 + lane).
+    ``gidx`` is the flat (tile, group) index into the 1-D plan arrays (SMEM
+    prefetch operands pad their minor dimension to 128 lanes, so the plan is
+    passed flattened).  Returns a tuple of ncomp (GROUP, CHUNK) arrays
+    (zeros where no pass matched — only possible on plan overflow).
     """
-    # STATIC unroll over max_chunks: dead plan slots (scid sentinel -1)
-    # produce an all-false select and cost one wasted pass, but the absence of
+    # STATIC unroll over the per-rank width mc_g: dead plan slots produce an
+    # all-false select and cost one wasted pass, but the absence of
     # data-dependent control flow lets Mosaic software-pipeline the whole
     # chunk sweep (a dynamic fori_loop over the live count measured ~7x
-    # slower: every iteration serialized on the scalar unit).  scid/cstart
-    # are PRE-SPLIT in the plan so each pass costs zero scalar ALU beyond the
-    # two SMEM reads (the fused shift+clamp variant measured ~8% slower).
-    accs = [jnp.zeros(idx_g.shape, x8_ref.dtype) for _ in range(ncomp)]
-    lidx = idx_g & (CHUNK - 1)  # chunk-local lane: shared by every pass
-    cid = idx_g >> 7  # chunk id per element: shared by every pass
+    # slower, and a lax.cond-predicated sweep ~9x slower: both serialize on
+    # the scalar unit).  The membership test compares the encoded pass id
+    # against the unroll CONSTANT — no per-pass scid SMEM read.
+    accs = [jnp.zeros(enc_g.shape, x8_ref.dtype) for _ in range(ncomp)]
+    lidx = enc_g & (CHUNK - 1)  # chunk-local lane: shared by every pass
+    pid = enc_g >> 7  # plan-slot id per element: shared by every pass
     for c in range(mc_g):
-        sel = cid == scid_ref[gidx * max_chunks + c]
+        sel = pid == c
         start = pl.multiple_of(cstart_ref[gidx * max_chunks + c], CHUNK)
         for comp in range(ncomp):
             xb = x8_ref[comp * GROUP:(comp + 1) * GROUP, pl.ds(start, CHUNK)]
@@ -187,12 +229,12 @@ def _fill_x8(step, x_ref, x8_ref, ncomp):
 
 
 def _spmv_kernel(
-    scid_ref, cstart_ref, diag_ref, vals_ref, idx_ref, x_ref, y_ref, x8_ref,
+    cstart_ref, diag_ref, vals_ref, enc_ref, x_ref, y_ref, x8_ref,
     *, ngroups, ncomp, mc, subtiles,
 ):
-    # each grid step covers `subtiles` 128-row tiles: the (K, subtiles*128)
-    # vals/idx DMA amortizes the fixed per-step cost (measured ~190 cycles —
-    # dominant at (K, 128) blocks) while the gather plan stays per-128-tile
+    # each grid step covers `subtiles` 128-row tiles (small blocks pipeline
+    # the vals/enc DMA against compute best — subtiles=4 measured ~8% faster
+    # than 16 at N=64k); the gather plan stays per-128-tile
     step = pl.program_id(0)
     _fill_x8(step, x_ref, x8_ref, ncomp)
     for w in range(subtiles):
@@ -203,10 +245,10 @@ def _spmv_kernel(
         tot8 = [None] * ncomp
         for g in range(ngroups):
             sl = slice(g * GROUP, (g + 1) * GROUP)
-            idx_g = idx_ref[sl, lanes]
+            enc_g = enc_ref[sl, lanes].astype(jnp.int32)
             vals_g = vals_ref[sl, lanes]
             gv = _group_gather(
-                x8_ref, idx_g, t * ngroups + g, scid_ref, cstart_ref,
+                x8_ref, enc_g, t * ngroups + g, cstart_ref,
                 ncomp, mc[g], max(mc),
             )
             for comp in range(ncomp):
@@ -221,7 +263,7 @@ def _spmv_kernel(
 
 
 def _take_kernel(
-    scid_ref, cstart_ref, idx_ref, x_ref, out_ref, x8_ref,
+    cstart_ref, enc_ref, x_ref, out_ref, x8_ref,
     *, ngroups, ncomp, mc, subtiles,
 ):
     step = pl.program_id(0)
@@ -231,9 +273,9 @@ def _take_kernel(
         lanes = slice(w * CHUNK, (w + 1) * CHUNK)
         for g in range(ngroups):
             sl = slice(g * GROUP, (g + 1) * GROUP)
-            idx_g = idx_ref[sl, lanes]
+            enc_g = enc_ref[sl, lanes].astype(jnp.int32)
             gv = _group_gather(
-                x8_ref, idx_g, t * ngroups + g, scid_ref, cstart_ref,
+                x8_ref, enc_g, t * ngroups + g, cstart_ref,
                 ncomp, mc[g], max(mc),
             )
             for comp in range(ncomp):
@@ -244,28 +286,30 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_subtiles(ntiles: int, cap: int = 16) -> int:
-    """Largest power of two <= cap dividing ntiles (grid-step width)."""
+def _pick_subtiles(ntiles: int, cap: int = 32) -> int:
+    """Largest power of two <= cap dividing ntiles (grid-step width):
+    the (K, subtiles*128) vals/enc DMA amortizes the fixed ~190-cycle
+    per-grid-step cost."""
     s = 1
     while s < cap and ntiles % (2 * s) == 0:
         s *= 2
     return s
 
 
-@functools.partial(jax.jit, static_argnames=("mc",))
-def _spmv_call(scid, cstart, diag, vals, idx, x, mc: tuple):
+@functools.partial(jax.jit, static_argnames=("mc", "subcap"))
+def _spmv_call(cstart, diag, vals, enc, x, mc: tuple, subcap: int = 32):
     K, n = vals.shape
     ncomp = x.shape[0]
     ntiles = n // CHUNK
     ngroups = K // GROUP
-    sub = _pick_subtiles(ntiles)
+    sub = _pick_subtiles(ntiles, subcap)
     W = sub * CHUNK
     y = pl.pallas_call(
         functools.partial(
             _spmv_kernel, ngroups=ngroups, ncomp=ncomp, mc=mc, subtiles=sub,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # scid, cstart (flattened 1-D, see GatherPlan)
+            num_scalar_prefetch=1,  # cstart (flattened 1-D, see GatherPlan)
             grid=(ntiles // sub,),
             in_specs=[
                 pl.BlockSpec((1, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
@@ -282,37 +326,38 @@ def _spmv_call(scid, cstart, diag, vals, idx, x, mc: tuple):
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * vals.size * ncomp,
-            bytes_accessed=(vals.size + idx.size) * 4 + n * ncomp * 8,
+            bytes_accessed=vals.size * 4 + enc.size * 2 + n * ncomp * 8,
             transcendentals=0,
         ),
-    )(scid.reshape(-1), cstart.reshape(-1), diag.reshape(1, n), vals, idx, x)
+    )(cstart.reshape(-1), diag.reshape(1, n), vals, enc, x)
     return y
 
 
 def spmv(plan: GatherPlan, diag, vals_masked, idx, x):
-    """y = diag * x + sum_k vals_masked[k] * x[idx[k]] via the pallas kernel.
+    """y = diag * x + sum_k vals_masked[k] * x[idx[k]] via the pallas kernel
+    (idx is carried by the plan's pass encoding; the ``idx`` argument is
+    unused and kept for signature parity with the XLA fallback).
 
     ``vals_masked`` must already include the mask (vals * mask); masked slots
     of ``idx`` hold in-range padding covered by the plan's chunks.
-    Supports (N,) vectors and (C, N) multivectors.  Components dispatch as
-    separate kernel calls: a fused (C, N) layout puts components on sublanes
-    of one (8, 128) tile and its single-sublane slices measured ~4x slower
-    than two clean passes.
+    Supports (N,) vectors and (C, N) multivectors; multivectors run ONE
+    fused kernel call — the vals/enc streams and the membership selects are
+    shared across components (measured 1.35x the per-component throughput
+    at C=2; an earlier components-on-sublanes layout was 4x slower, which
+    is what the per-component dispatch replaced).
     """
+    del idx
     if x.ndim == 2:
-        return jnp.stack(
-            [spmv(plan, diag, vals_masked, idx, x[c]) for c in range(x.shape[0])]
-        )
+        return _spmv_call(plan.cstart, diag, vals_masked, plan.enc, x, plan.mc)
     y = _spmv_call(
-        plan.scid, plan.cstart, diag, vals_masked, idx.astype(jnp.int32),
-        x.reshape(1, -1), plan.mc,
+        plan.cstart, diag, vals_masked, plan.enc, x.reshape(1, -1), plan.mc,
     )
     return y.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("mc",))
-def _take_call(scid, cstart, idx, x, mc: tuple):
-    K, n = idx.shape
+def _take_call(cstart, enc, x, mc: tuple):
+    K, n = enc.shape
     ncomp = x.shape[0]
     ntiles = n // CHUNK
     ngroups = K // GROUP
@@ -323,7 +368,7 @@ def _take_call(scid, cstart, idx, x, mc: tuple):
             _take_kernel, ngroups=ngroups, ncomp=ncomp, mc=mc, subtiles=sub,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(ntiles // sub,),
             in_specs=[
                 pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
@@ -336,14 +381,15 @@ def _take_call(scid, cstart, idx, x, mc: tuple):
         ),
         out_shape=jax.ShapeDtypeStruct((ncomp, K, n), x.dtype),
         interpret=_interpret(),
-    )(scid.reshape(-1), cstart.reshape(-1), idx.astype(jnp.int32), x)
+    )(cstart.reshape(-1), enc, x)
 
 
 def take(plan: GatherPlan, idx, x):
     """x[idx] for (K, N) neighbor gathers of an (N,) field (the PairGeom
-    gather) via the windowed kernel; (C, N) fields gather per component (see
-    spmv on why a fused multi-component layout loses)."""
+    gather) via the windowed kernel; (C, N) fields gather in one fused call
+    (see spmv)."""
+    del idx
     if x.ndim == 2:
-        return jnp.stack([take(plan, idx, x[c]) for c in range(x.shape[0])])
-    out = _take_call(plan.scid, plan.cstart, idx, x.reshape(1, -1), plan.mc)
+        return _take_call(plan.cstart, plan.enc, x, plan.mc)
+    out = _take_call(plan.cstart, plan.enc, x.reshape(1, -1), plan.mc)
     return out[0]

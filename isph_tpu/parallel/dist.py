@@ -99,9 +99,12 @@ def _exchange_halo(x_own: jax.Array, halo: int, axis: str) -> jax.Array:
 
 
 def dist_matvec(diag, vals, idx, mask, x_own, *, halo: int, axis: str):
-    """Local slab SpMV with halo exchange (per-shard bodies under shard_map)."""
+    """Local slab SpMV with halo exchange (per-shard bodies under shard_map).
+    ``vals`` carries exact zeros on masked slots (the ELL invariant, see
+    ops/ell.py) so the mask product is skipped on the per-iteration path."""
+    del mask
     x_ext = _exchange_halo(x_own, halo, axis)
-    return diag * x_own + (vals * mask * x_ext[idx]).sum(axis=0)
+    return diag * x_own + (vals * x_ext[idx]).sum(axis=0)
 
 
 def make_distributed_cg(
