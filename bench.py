@@ -42,7 +42,7 @@ def _hbm_bw():
     return HBM_BW["cpu"]
 
 
-def bench_spmv(n_lattice=256, max_neighbors=32, n1=200, n2=1200):
+def bench_spmv(n_lattice=256, max_neighbors=32, n1=200, n2=2400):
     from isph_tpu.models import tgv
     from isph_tpu.ops import corrected as ops
     from isph_tpu.ops.corrected import PairFilter, SYMMETRIC
@@ -99,21 +99,58 @@ def bench_spmv(n_lattice=256, max_neighbors=32, n1=200, n2=1200):
     x = jnp.asarray(rng.standard_normal(state.n), jnp.float32)
     float(f1(A, x).sum())
     float(f2(A, x).sum())  # warmup/compile
-    dt = float("inf")
-    for rep in range(1, 4):
-        x2 = jnp.asarray(rng.standard_normal(state.n), jnp.float32)
-        float((x2 * x2).sum())  # materialize input before the clock starts
-        t0 = time.perf_counter()
-        float(f1(A, x2).sum())
-        t1 = time.perf_counter()
-        float(f2(A, x2).sum())
-        t2 = time.perf_counter()
-        dt = min(dt, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
+
+    def slope_time(mk_input, per_unit):
+        """min over reps of the two-point slope, POSITIVE slopes only —
+        tunnel-latency jitter between the two legs can exceed the short
+        leg's work and produce garbage (even negative) slopes."""
+        best = float("inf")
+        good = 0
+        for rep in range(8):
+            a = mk_input(rep)
+            jax.block_until_ready(a)
+            t0 = time.perf_counter()
+            float(f1(A, a).sum())
+            t1 = time.perf_counter()
+            float(f2(A, a).sum())
+            t2 = time.perf_counter()
+            s = ((t2 - t1) - (t1 - t0)) / per_unit
+            if s > 0:
+                best = min(best, s)
+                good += 1
+                if good >= 4:
+                    break
+        if best == float("inf"):
+            # degenerate tunnel behavior: report the long leg inclusive of
+            # the fixed round trip (an upper bound, never negative)
+            a = mk_input(99)
+            t0 = time.perf_counter()
+            float(f2(A, a).sum())
+            best = (time.perf_counter() - t0) / n2
+        return best
+
+    dt = slope_time(
+        lambda r: jnp.asarray(
+            np.random.default_rng(r).standard_normal(state.n), jnp.float32),
+        n2 - n1,
+    )
     _log(f"spmv: best {dt*1e6:.2f} us / matvec (slope over {n2-n1} iters)")
 
     nnz = float(np.asarray(geom.mask).sum() + state.n)  # offdiag + diag
     nnz_per_s = nnz / dt
-    return nnz_per_s, nnz, dt
+
+    # fused 2-RHS multivector SpMV (the Helmholtz dim-RHS path,
+    # pair_isph.cpp:936): components share the vals/enc streams
+    xm = jnp.stack([x, x * 0.5 + 1.0])
+    float(f1(A, xm).sum()); float(f2(A, xm).sum())
+    dtm = slope_time(
+        lambda r: jnp.asarray(
+            np.random.default_rng(100 + r).standard_normal((2, state.n)),
+            jnp.float32),
+        n2 - n1,
+    )
+    _log(f"spmv 2-RHS: best {dtm*1e6:.2f} us / matvec")
+    return nnz_per_s, nnz, dt, 2.0 * nnz / dtm
 
 
 def bench_step(n_lattice=128, max_neighbors=32, precond="jacobi", s1=1, s2=6):
@@ -145,9 +182,12 @@ def bench_step(n_lattice=128, max_neighbors=32, precond="jacobi", s1=1, s2=6):
     out, _ = f1(state)
     float(out.x.sum())  # warmup/compile; host transfer forces completion
     _log(f"step[{precond}]: compiled, timing")
-    # slope timing: fixed ~24 ms tunnel round trip cancels (see bench_spmv)
+    # slope timing: fixed ~24 ms tunnel round trip cancels (see bench_spmv);
+    # POSITIVE slopes only — tunnel jitter can exceed the short leg's work
+    # and produce garbage (even negative) slopes
     dt = float("inf")
-    for rep in range(1, 4):
+    good = 0
+    for rep in range(1, 9):
         state2 = state.replace(v=state.v * (1.0 + 1e-4 * rep))
         float(state2.v.sum())  # materialize input before the clock starts
         t0 = time.perf_counter()
@@ -157,7 +197,17 @@ def bench_step(n_lattice=128, max_neighbors=32, precond="jacobi", s1=1, s2=6):
         out, vmax = f2(state2)
         float(out.x.sum())
         t2 = time.perf_counter()
-        dt = min(dt, ((t2 - t1) - (t1 - t0)) / (s2 - s1))
+        s = ((t2 - t1) - (t1 - t0)) / (s2 - s1)
+        if s > 0:
+            dt = min(dt, s)
+            good += 1
+            if good >= 3:
+                break
+    if dt == float("inf"):
+        t0 = time.perf_counter()
+        out, vmax = f2(state)
+        float(out.x.sum())
+        dt = (time.perf_counter() - t0) / s2  # upper bound incl. round trip
     _log(f"step[{precond}]: best {dt:.3f} s / step")
     particle_steps_per_s = state.n / dt
     return particle_steps_per_s, dt, float(np.asarray(vmax)[-1])
@@ -183,11 +233,11 @@ def _device_alive(timeout_s: int = 120) -> bool:
 
 def _run_benches(small: bool) -> str:
     if small:
-        spmv_nnz_s, nnz, spmv_t = bench_spmv(n_lattice=128, n1=50, n2=250)
+        spmv_nnz_s, nnz, spmv_t, mv2 = bench_spmv(n_lattice=128, n1=50, n2=250)
         ps_j, step_j, vmax_j = bench_step(n_lattice=64, precond="jacobi")
         ps_a, step_a, vmax_a = bench_step(n_lattice=64, precond="amg")
     else:
-        spmv_nnz_s, nnz, spmv_t = bench_spmv()
+        spmv_nnz_s, nnz, spmv_t, mv2 = bench_spmv()
         ps_j, step_j, vmax_j = bench_step(precond="jacobi")
         # AMG is the production preconditioner (reference: ML on every solve,
         # precond_ml.h) — benched on TPU, not excluded (VERDICT r2 ask #1e)
@@ -207,6 +257,7 @@ def _run_benches(small: bool) -> str:
             "extras": {
                 "matrix_nnz": nnz,
                 "roofline_nnz_per_s": roofline,
+                "spmv_2rhs_nnz_per_s": mv2,
                 "tgv2d_particle_steps_per_s": ps_per_s,
                 "tgv2d_step_seconds": step_t,
                 "tgv2d_step_seconds_amg": step_a,
