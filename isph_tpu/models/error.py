@@ -52,17 +52,22 @@ def compile_expression(body: str) -> Callable[..., jax.Array]:
     variable names (``pt.x``) become underscored keywords (``pt_x``).
     """
     src = body.strip().rstrip(";").strip()
-    if "=" in src and "==" not in src.split("=")[0] + "=":
-        lhs, rhs = src.split("=", 1)
-        if re.fullmatch(r"[A-Za-z_][\w.]*\s*", lhs):
-            src = rhs.strip()
+    # assignment-statement form: a single identifier lhs followed by "=" not
+    # "==" (ADVICE r3: the old split-based guard mis-parsed "a == b")
+    m = re.match(r"^([A-Za-z_][\w.]*)\s*=(?!=)\s*(.*)$", src, re.DOTALL)
+    if m:
+        src = m.group(2).strip()
     src = _DOTTED.sub(lambda m: m.group(1).replace(".", "_"), src)
     code = compile(src, "<analytic-solution>", "eval")
 
     def fn(**variables):
         ns = dict(_NAMESPACE)
         ns.update(variables)
-        return eval(code, {"__builtins__": {}}, ns)  # noqa: S307 (restricted)
+        # NOTE: expression strings are TRUSTED INPUT (deck/XML authored by
+        # the user), matching the reference's RTC model which compiles
+        # arbitrary C (fix_isph_error.cpp).  Stripping __builtins__ guards
+        # against accidents, not adversaries (ADVICE r3).
+        return eval(code, {"__builtins__": {}}, ns)  # noqa: S307 (trusted)
 
     fn.__doc__ = f"analytic expression: {src}"
     return fn

@@ -68,7 +68,7 @@ class ELL:
 
             # (d, N) multivectors go through in ONE kernel call: the vals/idx
             # tiles are read from HBM once and reused across components
-            return spmv(self.plan, self.diag, self.vals, self.idx, x)
+            return spmv(self.plan, self.diag, self.vals, x)
         if x.ndim == 1:
             return self.diag * x + (self.vals * x[self.idx]).sum(axis=0)
         return self.diag[None, :] * x + (self.vals[None, :, :] * x[:, self.idx]).sum(axis=1)

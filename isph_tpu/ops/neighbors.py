@@ -93,9 +93,9 @@ class PairGeom:
             from isph_tpu.ops.spmv_pallas import take
 
             if f.dtype == jnp.float32:
-                return take(self.plan, self.idx, f)
+                return take(self.plan, f)
             if f.dtype in (jnp.int32, jnp.uint32, jnp.bool_, jnp.int8):
-                g = take(self.plan, self.idx, f.astype(jnp.float32))
+                g = take(self.plan, f.astype(jnp.float32))
                 return g.astype(f.dtype)
         if f.ndim == 1:
             return f[self.idx]
@@ -305,7 +305,7 @@ def compute_pair_geometry(
             and jax.default_backend() == "tpu"):
         from isph_tpu.ops.spmv_pallas import take
 
-        xj = take(nbrs.plan, nbrs.idx, xw)  # (D, K, N) via the fast kernel
+        xj = take(nbrs.plan, xw)  # (D, K, N) via the fast kernel
     else:
         xj = xw[:, nbrs.idx]
     rij = jnp.stack(

@@ -333,10 +333,10 @@ def _spmv_call(cstart, diag, vals, enc, x, mc: tuple, subcap: int = 32):
     return y
 
 
-def spmv(plan: GatherPlan, diag, vals_masked, idx, x):
+def spmv(plan: GatherPlan, diag, vals_masked, x):
     """y = diag * x + sum_k vals_masked[k] * x[idx[k]] via the pallas kernel
-    (idx is carried by the plan's pass encoding; the ``idx`` argument is
-    unused and kept for signature parity with the XLA fallback).
+    (idx is carried by the plan's pass encoding — the plan must have been
+    built from the same neighbor index array, ADVICE r3).
 
     ``vals_masked`` must already include the mask (vals * mask); masked slots
     of ``idx`` hold in-range padding covered by the plan's chunks.
@@ -346,7 +346,6 @@ def spmv(plan: GatherPlan, diag, vals_masked, idx, x):
     at C=2; an earlier components-on-sublanes layout was 4x slower, which
     is what the per-component dispatch replaced).
     """
-    del idx
     if x.ndim == 2:
         return _spmv_call(plan.cstart, diag, vals_masked, plan.enc, x, plan.mc)
     y = _spmv_call(
@@ -384,11 +383,10 @@ def _take_call(cstart, enc, x, mc: tuple):
     )(cstart.reshape(-1), enc, x)
 
 
-def take(plan: GatherPlan, idx, x):
+def take(plan: GatherPlan, x):
     """x[idx] for (K, N) neighbor gathers of an (N,) field (the PairGeom
-    gather) via the windowed kernel; (C, N) fields gather in one fused call
-    (see spmv)."""
-    del idx
+    gather) via the windowed kernel, idx carried by the plan's pass
+    encoding; (C, N) fields gather in one fused call (see spmv)."""
     if x.ndim == 2:
         return _take_call(plan.cstart, plan.enc, x, plan.mc)
     out = _take_call(plan.cstart, plan.enc, x.reshape(1, -1), plan.mc)

@@ -209,6 +209,13 @@ class ShardedSimulation:
             f"halo {self.halo} exceeds owned capacity n_loc {self.n_loc}"
         )
         assert 2 * self.migrate_cap <= self.n_loc
+        if self.gather_chunks is not None:
+            # the pallas gather plan requires the extended particle axis to
+            # tile into 128-lane chunks (ops/spmv_pallas.py make_gather_plan)
+            assert (self.n_loc + 2 * self.halo) % 128 == 0, (
+                f"gather_chunks set but n_loc+2*halo = "
+                f"{self.n_loc + 2 * self.halo} is not a multiple of 128"
+            )
 
     @property
     def cfg(self) -> SimulationConfig:
@@ -692,10 +699,19 @@ class ShardedSimulation:
             gc = int(gc) + 2
         cap = (self.cell_capacity if self.cell_capacity is not None
                else 4 * self.cfg.neighbor.cell_capacity)
+        halo = min(self.halo + (self.halo + 1) // 2, self.n_loc)
+        if gc is not None:
+            # keep (n_loc + 2*halo) % 128 == 0 for the gather plan (ADVICE
+            # r3): round the grown halo up to the next size whose extended
+            # axis still tiles into 128-lane chunks (step 64 preserves the
+            # congruence class; <=63 extra slots)
+            while (self.n_loc + 2 * halo) % 128 != 0:
+                halo += 1
+            halo = min(halo, self.n_loc)
         return dataclasses.replace(
             self,
             sim=self.sim.with_larger_neighbors(),
-            halo=min(self.halo + (self.halo + 1) // 2, self.n_loc),
+            halo=halo,
             cell_capacity=2 * cap,
             gather_chunks=gc,
         )
@@ -710,14 +726,29 @@ class ShardedSimulation:
         step = jax.jit(ssim.make_step(state))
         aux = None
         done = 0
+        retries = 0
         while done < nsteps:
             new_state, aux = step(state)
             if int(aux.neighbor_overflow) > 0:
+                # migration overflow (stray particles / recv > free slots) is
+                # NOT fixable by larger neighbor shapes — n_loc is a
+                # partitioning choice; bound the growths so an unbalanced
+                # partition fails loudly instead of recompiling forever
+                # (ADVICE r3)
+                retries += 1
+                if retries > 3:
+                    raise RuntimeError(
+                        f"step {done}: overflow persists after {retries - 1} "
+                        "shape growths — the slab partition is likely "
+                        "unbalanced (migration overflow); repartition with "
+                        "partition_state and a larger n_loc/migrate_cap"
+                    )
                 ssim = ssim.with_larger_neighbors()
                 step = jax.jit(ssim.make_step(state))
                 continue  # retry the same step with room for every pair
             state = new_state
             done += 1
+            retries = 0
         return state, aux
 
     def make_step(self, state: ParticleState):
