@@ -212,13 +212,16 @@ def droplet_anisotropy(state: ParticleState) -> jax.Array:
 def make_pb_harmonic(
     n: int = 64,
     *,
+    dim: int = 2,
     dtype=jnp.float64,
     pad_multiple: int = 8,
     max_neighbors: Optional[int] = None,
 ):
-    """Periodic box [-pi, pi]^2, all fluid; manufactured solution
+    """Periodic box [-pi, pi]^dim, all fluid; manufactured solution
     psi = sin(x) cos(y) with source f = -2 sin x cos y - sinh(sin x cos y)
     (xml Extra F Function List), ezcb = 0.5, psiref = 1 => kappa^2 = 1.
+    The 3-D deck (poisson-boltzmann-harmonic-3d.lmp) uses the same
+    z-invariant field (poisson-boltzmann-harmonic.xml names itself 2D/3D).
 
     Returns (sim, state, extra_f, psi_exact) — solve with
     ``electrokinetics.solve_poisson_boltzmann(..., extra_f=extra_f)``.
@@ -229,7 +232,7 @@ def make_pb_harmonic(
     dx = L / n
     h = 1.5 * dx
     cut = 2.0 * h
-    pts = _square_lattice([-math.pi] * 2, [math.pi] * 2, dx, 2)
+    pts = _square_lattice([-math.pi] * dim, [math.pi] * dim, dx, dim)
     n_real = pts.shape[0]
     state = make_state(
         pts, kind=np.full(n_real, Kind.FLUID_BIT, np.int32), rho=1.0, nu=0.0,
@@ -244,14 +247,14 @@ def make_pb_harmonic(
     extra_f = -2.0 * psi_exact - jnp.sinh(psi_exact)
 
     cfg = SimulationConfig(
-        dim=2, h=h, dt=1.0, dtype=str(np.dtype(dtype)),
+        dim=dim, h=h, dt=1.0, dtype=str(np.dtype(dtype)),
         kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
         ns=NavierStokesConfig(enabled=False),
         pb=PoissonBoltzmannConfig(enabled=True, ezcb=0.5, psiref=1.0, gamma=0.0),
-        neighbor=_neighbor_cfg(dx, cut, 2, max_neighbors),
+        neighbor=_neighbor_cfg(dx, cut, dim, max_neighbors),
     )
-    domain = Domain(lo=(-math.pi, -math.pi), hi=(math.pi, math.pi),
-                    periodic=(True, True))
+    domain = Domain(lo=(-math.pi,) * dim, hi=(math.pi,) * dim,
+                    periodic=(True,) * dim)
     return Simulation(cfg=cfg, domain=domain), state, extra_f, psi_exact
 
 
@@ -821,6 +824,10 @@ def make_flow_past_cylinder(
 DECKS: Dict[str, Callable] = {
     # verification flows
     "taylor-green-vortex-2d": tgv_mod.make_tgv,
+    # the hopper scaling deck (bench-script/hopper/tgv/1728/tgv-3d-p24.lmp:
+    # 24-33 + tgv.xml): quintic kernel, cut = 3h
+    "taylor-green-vortex-3d": lambda **kw: tgv_mod.make_tgv(
+        dim=3, **{"kernel": KernelType.QUINTIC, **kw}),
     "poiseuille-flow-2d": lambda **kw: channel_mod.make_channel(flow="poiseuille", **kw),
     "couette-flow-2d": lambda **kw: channel_mod.make_channel(flow="couette", **kw),
     "channel-moving-wall-2d": lambda **kw: channel_mod.make_channel(flow="couette", **kw),
@@ -840,6 +847,7 @@ DECKS: Dict[str, Callable] = {
     "droplet-in-cylinder-2d": make_square_droplet,  # same physics, round target
     # electrokinetics
     "poisson-boltzmann-harmonic-2d": make_pb_harmonic,
+    "poisson-boltzmann-harmonic-3d": lambda **kw: make_pb_harmonic(dim=3, **kw),
     "channel-edl-potential-2d": edl_mod.make_channel_edl,
     "applied-efield-linear-2d": lambda **kw: make_applied_efield(mode="linear", **kw),
     "applied-efield-insulator-2d": lambda **kw: make_applied_efield(

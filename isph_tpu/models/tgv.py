@@ -44,6 +44,7 @@ def _round_up(x: int, m: int) -> int:
 def make_tgv(
     n: int = 64,
     *,
+    dim: int = 2,
     umax: float = 0.1,
     nu: float = 0.1,
     rho: float = 1.0,
@@ -58,7 +59,12 @@ def make_tgv(
     pad_multiple: int = 8,
     gather_chunks=0,
 ) -> Tuple[Simulation, ParticleState]:
-    dim = 2
+    """dim=3 builds the reference 3-D deck (sph-script/taylor-green-vortex-3d
+    .lmp + bench-script/hopper/tgv/1728/tgv-3d-p24.lmp:24-33): sc lattice
+    n^3 over [0, 2pi]^3, the z-invariant TGV velocity (velz=0), h = 1.5 dx.
+    The hopper bench runs Quintic cut=3h (tgv.xml) — pass
+    kernel=KernelType.QUINTIC for that configuration (~380 neighbor slots:
+    cut = 4.5 dx in 3-D)."""
     L = 2.0 * math.pi
     dx = L / n
     h = h_factor * dx
@@ -66,13 +72,14 @@ def make_tgv(
 
     # square lattice with origin offset 0.5 (deck: lattice sq origin 0.5 0.5)
     ii = (np.arange(n) + 0.5) * dx
-    X, Y = np.meshgrid(ii, ii, indexing="ij")
-    x = np.stack([X.ravel(), Y.ravel()], axis=-1)
+    grids = np.meshgrid(*([ii] * dim), indexing="ij")
+    x = np.stack([g.ravel() for g in grids], axis=-1)
     v = np.stack(
         [
             umax * np.sin(x[:, 0]) * np.cos(x[:, 1]),
             -umax * np.cos(x[:, 0]) * np.sin(x[:, 1]),
-        ],
+        ]
+        + ([np.zeros(x.shape[0])] if dim == 3 else []),
         axis=-1,
     )
 
@@ -101,28 +108,32 @@ def make_tgv(
             use_momentum_preserve_operator=momentum_preserve,
         ),
         shift=ShiftConfig(enabled=shift > 0.0, shift=shift),
-        neighbor=NeighborConfig(max_neighbors=max_neighbors, cell_capacity=_cell_cap(dx, cut_over_h * h),
+        neighbor=NeighborConfig(max_neighbors=max_neighbors,
+                                cell_capacity=_cell_cap(dx, cut_over_h * h, dim),
                                 gather_chunks=gather_chunks),
     )
-    domain = Domain(lo=(0.0, 0.0), hi=(L, L), periodic=(True, True))
+    domain = Domain(lo=(0.0,) * dim, hi=(L,) * dim, periodic=(True,) * dim)
     return Simulation(cfg=cfg, domain=domain), state
 
 
-def _cell_cap(dx: float, cutoff: float) -> int:
+def _cell_cap(dx: float, cutoff: float, dim: int = 2) -> int:
     """Particles per cell upper bound for a square lattice with spacing dx."""
     per_axis = int(math.ceil(cutoff / dx)) + 2
-    return per_axis * per_axis
+    return per_axis**dim
 
 
 def exact_solution(x: jax.Array, t, *, umax=0.1, nu=0.1, rho=1.0):
-    """Analytic decaying vortex (fix_isph_tgv.cpp:87-90).  x: (D, N)."""
+    """Analytic decaying vortex (fix_isph_tgv.cpp:87-90).  x: (D, N).
+    The 3-D deck uses the same z-invariant field with u_z = 0 (the 2-D
+    solution embedded in 3-D, taylor-green-vortex-3d.lmp:120-127)."""
     decay_v = umax * jnp.exp(-2.0 * nu * t)
-    u = jnp.stack(
-        [
-            decay_v * jnp.sin(x[0]) * jnp.cos(x[1]),
-            -decay_v * jnp.cos(x[0]) * jnp.sin(x[1]),
-        ]
-    )
+    comps = [
+        decay_v * jnp.sin(x[0]) * jnp.cos(x[1]),
+        -decay_v * jnp.cos(x[0]) * jnp.sin(x[1]),
+    ]
+    if x.shape[0] == 3:
+        comps.append(jnp.zeros_like(x[2]))
+    u = jnp.stack(comps)
     p = 0.25 * rho * umax**2 * jnp.exp(-4.0 * nu * t) * (
         jnp.cos(2.0 * x[0]) + jnp.cos(2.0 * x[1])
     )

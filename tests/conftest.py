@@ -20,6 +20,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: repeat suite runs skip recompiling the large
+# jitted step/solver programs (VERDICT r3 #7 — suite wall-time budget)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest
 
