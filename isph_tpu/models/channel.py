@@ -40,10 +40,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _channel_lattice(ny: int, length: float, radius: float, nwall: int):
-    """Square lattice filling [-length, length] x [-R - nwall dx, R + nwall dx];
-    returns (x, is_solid, dx)."""
+    """Square lattice filling [-Lx, Lx] x [-R - nwall dx, R + nwall dx] with
+    Lx = the requested half-length SNAPPED to a whole number of cells (an
+    incommensurate periodic box leaves a gap/overlap of O(dx) at the x seam
+    that corrupts near-seam operators — measured 4x error inflation on the
+    steady-Poiseuille deck).  Returns (x, is_solid, dx, (ylo, yhi), Lx)."""
     dx = 2.0 * radius / ny
-    nx = int(round(2.0 * length / dx))
+    nx = max(1, int(round(2.0 * length / dx)))
+    length = 0.5 * nx * dx  # snap: box length = nx * dx exactly
     ylo = -radius - nwall * dx
     yhi = radius + nwall * dx
     nyy = ny + 2 * nwall
@@ -52,7 +56,7 @@ def _channel_lattice(ny: int, length: float, radius: float, nwall: int):
     X, Y = np.meshgrid(xs, ys, indexing="ij")
     pts = np.stack([X.ravel(), Y.ravel()], axis=-1)
     is_solid = pts[:, 1] ** 2 > radius**2  # reference: type(Y.^2 > R^2) = 2
-    return pts, is_solid, dx, (ylo, yhi)
+    return pts, is_solid, dx, (ylo, yhi), length
 
 
 def make_channel(
@@ -81,7 +85,7 @@ def make_channel(
     cut_over_h = 2.0
     nwall = int(math.ceil(cut_over_h * h / dx0)) + 2
 
-    pts, is_solid, dx, (ylo, yhi) = _channel_lattice(ny, length, radius, nwall)
+    pts, is_solid, dx, (ylo, yhi), length = _channel_lattice(ny, length, radius, nwall)
     n_real = pts.shape[0]
     kind = np.where(is_solid, Kind.SOLID, Kind.FLUID_BIT).astype(np.int32)
 
@@ -121,6 +125,175 @@ def make_channel(
     )
     domain = Domain(lo=(-length, ylo), hi=(length, yhi), periodic=(True, True))
     return Simulation(cfg=cfg, domain=domain), state
+
+
+def make_poiseuille_steady(
+    ny: int = 32,
+    *,
+    gmag: float = 100.0,  # |g| (steady deck g.x = 100)
+    nu: float = 1.0,
+    rho: float = 1.0,
+    radius: float = 0.5,  # half-width
+    length: float = 0.2,
+    dt: float = 10000.0,  # one giant implicit step to steady state
+    max_neighbors: int = 64,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """Steady Poiseuille verification (poiseuille-flow-steady-2d.lmp +
+    poiseuille-flow-steady.xml): initial velocity = the exact steady
+    profile, ONE backward-Euler (theta=1) step with dt = 10000 — the test
+    is that the discrete steady state is PRESERVED (the deck runs
+    `fix isph/error` on the result).  Quintic kernel h = 0.8 dx (deck),
+    MorrisHolmes walls, fluid:fixed mobility.
+
+    The reference's TILTED companion deck carves a CLOSED rotated box
+    (poiseuille-flow-steady-tilted-2d.m) in which no steady Poiseuille
+    state exists (gravity along a closed channel ends in hydrostatics) and
+    records no golden; its rotational-invariance content is carried here by
+    :func:`make_poiseuille_diagonal` — a periodic 45-degree channel ARRAY
+    where the steady profile is exact.
+    """
+    dx = 2.0 * radius / ny
+    h = 0.8 * dx
+    cut_over_h = 3.0  # quintic
+    cut = cut_over_h * h  # = 2.4 dx
+    nwall = int(math.ceil(cut / dx)) + 2
+
+    pts, is_solid, _dx, (ylo, yhi), length = _channel_lattice(ny, length, radius, nwall)
+    # deck Particle Information: "fluid:fixed" — particles solve but never
+    # move (poiseuille-flow-steady.xml type:1)
+    kind = np.where(is_solid, Kind.SOLID, Kind.FLUID_BIT | Kind.FIXED).astype(np.int32)
+    yt = pts[:, 1] / (2.0 * radius) + 0.5
+    umag = gmag / (2.0 * nu) * yt * (1.0 - yt) * (2.0 * radius) ** 2
+    v = np.stack([np.where(is_solid, 0.0, umag), np.zeros(len(pts))], axis=-1)
+
+    n_real = pts.shape[0]
+    state = make_state(
+        pts, v=v, kind=kind, rho=rho, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    cfg = SimulationConfig(
+        dim=2,
+        h=h,
+        dt=dt,
+        dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.QUINTIC, cut_over_h=cut_over_h),
+        ns=NavierStokesConfig(
+            theta=1.0,
+            boundary=BoundaryCond.MORRIS_HOLMES,
+            singular_poisson=SingularPoisson.NULL_SPACE,
+            g=(gmag, 0.0, 0.0),
+        ),
+        neighbor=NeighborConfig(
+            max_neighbors=max_neighbors,
+            cell_capacity=(int(math.ceil(cut / dx)) + 2) ** 2,
+        ),
+    )
+    domain = Domain(lo=(-length, ylo), hi=(length, yhi), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+def make_poiseuille_diagonal(
+    n: int = 24,
+    *,
+    gmag: float = 100.0,
+    nu: float = 1.0,
+    rho: float = 1.0,
+    fill: float = 0.7,  # fluid fraction of the channel period
+    dt: float = 10000.0,
+    max_neighbors: int = 64,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """Periodic array of 45-degree channels (the well-posed stand-in for
+    the reference's closed tilted deck, see make_poiseuille_steady): box
+    [0, 1)^2, channel coordinate a = ((y - x)/sqrt(2)) mod P with period
+    P = 1/sqrt(2); fluid where the centered |a| <= R = fill*P/2, gravity
+    gmag*(1, 1)/sqrt(2) along the channels.  The steady profile is exact
+    and the corrected operators must reproduce it off-axis.
+    Returns (sim, state); exact radius/period via
+    ``poiseuille_diagonal_error``.
+    """
+    L = 1.0
+    dx = L / n
+    h = 0.8 * dx
+    cut_over_h = 3.0
+    cut = cut_over_h * h
+    P = L / math.sqrt(2.0)
+    R = 0.5 * fill * P
+    assert P - 2.0 * R > cut + 2.0 * dx, "wall band thinner than the cutoff"
+
+    xs = (np.arange(n) + 0.5) * dx
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=-1)
+    a = (pts[:, 1] - pts[:, 0]) / math.sqrt(2.0)
+    a = np.mod(a + 0.5 * P, P) - 0.5 * P
+    is_solid = np.abs(a) > R
+    kind = np.where(is_solid, Kind.SOLID, Kind.FLUID_BIT | Kind.FIXED).astype(np.int32)
+    umag = gmag / (2.0 * nu) * (R * R - a * a)
+    umag = np.where(is_solid, 0.0, umag)
+    c = 1.0 / math.sqrt(2.0)
+    v = np.stack([c * umag, c * umag], axis=-1)
+
+    n_real = pts.shape[0]
+    state = make_state(
+        pts, v=v, kind=kind, rho=rho, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    cfg = SimulationConfig(
+        dim=2,
+        h=h,
+        dt=dt,
+        dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.QUINTIC, cut_over_h=cut_over_h),
+        ns=NavierStokesConfig(
+            theta=1.0,
+            boundary=BoundaryCond.MORRIS_HOLMES,
+            singular_poisson=SingularPoisson.NULL_SPACE,
+            g=(gmag * c, gmag * c, 0.0),
+        ),
+        neighbor=NeighborConfig(
+            max_neighbors=max_neighbors,
+            cell_capacity=(int(math.ceil(cut / dx)) + 2) ** 2,
+        ),
+    )
+    domain = Domain(lo=(0.0, 0.0), hi=(L, L), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+def poiseuille_steady_error(state: ParticleState, *, gmag=100.0, nu=1.0,
+                            radius=0.5):
+    """Relative L2 error of vstar against the steady profile over fluid."""
+    yt = state.x[1] / (2.0 * radius) + 0.5
+    umag = gmag / (2.0 * nu) * yt * (1.0 - yt) * (2.0 * radius) ** 2
+    uex = jnp.stack([umag, jnp.zeros_like(umag)])
+    w = (state.is_fluid & state.valid).astype(state.dtype)
+    err = (state.vstar - uex) * w[None, :]
+    nf = jnp.maximum(w.sum(), 1.0)
+    return (
+        jnp.sqrt((err**2).sum() / nf),
+        jnp.sqrt(((uex * w[None, :]) ** 2).sum() / nf),
+    )
+
+
+def poiseuille_diagonal_error(state: ParticleState, *, gmag=100.0, nu=1.0,
+                              fill=0.7):
+    """Relative L2 error of vstar against the diagonal steady profile."""
+    P = 1.0 / math.sqrt(2.0)
+    R = 0.5 * fill * P
+    a = (state.x[1] - state.x[0]) / math.sqrt(2.0)
+    a = jnp.mod(a + 0.5 * P, P) - 0.5 * P
+    umag = gmag / (2.0 * nu) * (R * R - a * a)
+    c = 1.0 / math.sqrt(2.0)
+    uex = jnp.stack([c * umag, c * umag])
+    w = (state.is_fluid & state.valid).astype(state.dtype)
+    err = (state.vstar - uex) * w[None, :]
+    nf = jnp.maximum(w.sum(), 1.0)
+    return (
+        jnp.sqrt((err**2).sum() / nf),
+        jnp.sqrt(((uex * w[None, :]) ** 2).sum() / nf),
+    )
 
 
 def poiseuille_exact_ux(y, t, *, g=10.0, nu=0.1, radius=0.5, nterms=40):

@@ -258,6 +258,37 @@ def make_pb_harmonic(
     return Simulation(cfg=cfg, domain=domain), state, extra_f, psi_exact
 
 
+def make_pb_dielectric(
+    n: int = 96,
+    *,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+):
+    """Spatially varying dielectric PB verification
+    (sph-script/poisson-boltzmann-dielectric-2d.lmp + .xml): periodic
+    [-pi, pi]^2, eps(x, y) = sqrt(1 + x^2 + y^2), manufactured
+    psi = sin(x) cos(y) with the xml's Extra F source
+    f = div(eps grad psi) - sinh(psi)
+      = -2 eps sin(x)cos(y) + (x cos(x)cos(y) - y sin(x)sin(y))/eps
+        - sinh(sin(x)cos(y))
+    (poisson-boltzmann-dielectric.xml Function List; deck dx = 2pi/96).
+
+    Returns (sim, state, extra_f, psi_exact).
+    """
+    sim, state, _, psi_exact = make_pb_harmonic(
+        n, dtype=dtype, pad_multiple=pad_multiple, max_neighbors=max_neighbors)
+    x, y = state.x[0], state.x[1]
+    eps = jnp.sqrt(1.0 + x * x + y * y)
+    state = state.replace(eps=jnp.where(state.valid, eps, 1.0))
+    extra_f = (
+        -2.0 * eps * jnp.sin(x) * jnp.cos(y)
+        + (x * jnp.cos(x) * jnp.cos(y) - y * jnp.sin(x) * jnp.sin(y)) / eps
+        - jnp.sinh(psi_exact)
+    )
+    return sim, state, extra_f, psi_exact
+
+
 # ---------------------------------------------------------------------------
 # applied electric field: linear / insulator / Henry
 # (sph-script/applied-efield-{linear,insulator}-2d.lmp, henry-efield-2d.lmp)
@@ -829,6 +860,11 @@ DECKS: Dict[str, Callable] = {
     "taylor-green-vortex-3d": lambda **kw: tgv_mod.make_tgv(
         dim=3, **{"kernel": KernelType.QUINTIC, **kw}),
     "poiseuille-flow-2d": lambda **kw: channel_mod.make_channel(flow="poiseuille", **kw),
+    "poiseuille-flow-steady-2d": lambda n=32, **kw: channel_mod.make_poiseuille_steady(n, **kw),
+    # the reference's tilted deck is a closed rotated box with no steady
+    # state and no golden; the rotational-invariance content maps to the
+    # periodic diagonal channel array (see make_poiseuille_steady docstring)
+    "poiseuille-flow-steady-tilted-2d": lambda n=24, **kw: channel_mod.make_poiseuille_diagonal(max(n, 24), **kw),
     "couette-flow-2d": lambda **kw: channel_mod.make_channel(flow="couette", **kw),
     "channel-moving-wall-2d": lambda **kw: channel_mod.make_channel(flow="couette", **kw),
     "lid-driven-cavity-2d": make_lid_driven_cavity,
@@ -848,6 +884,7 @@ DECKS: Dict[str, Callable] = {
     # electrokinetics
     "poisson-boltzmann-harmonic-2d": make_pb_harmonic,
     "poisson-boltzmann-harmonic-3d": lambda **kw: make_pb_harmonic(dim=3, **kw),
+    "poisson-boltzmann-dielectric-2d": make_pb_dielectric,
     "channel-edl-potential-2d": edl_mod.make_channel_edl,
     "applied-efield-linear-2d": lambda **kw: make_applied_efield(mode="linear", **kw),
     "applied-efield-insulator-2d": lambda **kw: make_applied_efield(

@@ -463,8 +463,9 @@ def advance_time(
     )
     dpT = jnp.where(fluid, (grad_p * dx).sum(axis=0), 0.0)
 
-    # fixed (solid/boundary) particles: only v <- v* (they may carry wall velocity)
-    moving = fluid & state.valid
+    # fixed (solid/boundary/Kind.FIXED) particles: only v <- v* (they may
+    # carry wall velocity; functor_advance_time_end.h:52-56)
+    moving = fluid & state.valid & ~state.is_fixed
     p_new = jnp.where(moving, state.p + dpT, state.p)
     x_new = jnp.where(moving[None, :], state.x + dx, state.x)
     x_new = domain.wrap(x_new)

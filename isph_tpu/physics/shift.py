@@ -70,7 +70,8 @@ def apply_shift(
     fam = family_of(cfg)
     dtype = state.dtype
     dim = state.dim
-    fluid = state.is_fluid & state.valid
+    # fixed particles are never shifted (functor_apply_shift.h:81)
+    fluid = state.is_fluid & state.valid & ~state.is_fixed
     coeffm = PairFilter(Kind.FLUID, Kind.ALL).pair(state.kind, geom).astype(dtype) * geom.mask
 
     grad_p = ops.gradient(geom, pre.vfrac, pre.Gc, state.p, family=fam,

@@ -36,6 +36,11 @@ class Kind:
     FLUID_BIT = 1 << 0  # 1
     FLUID = FLUID_BIT | BUFFER_DIRICHLET | BUFFER_NEUMANN  # = 97
     ALL = FLUID | SOLID | BOUNDARY
+    # mobility flag OUTSIDE the reference's 7-bit kind space (the reference
+    # carries it separately as pinfo[1] "fixed", pair_isph.cpp:1500):
+    # particles with this bit solve normally but never move
+    # (functor_advance_time_end.h:52-56, functor_apply_shift.h:81)
+    FIXED = 1 << 7  # 128
 
 
 def _field(**kw):
@@ -156,6 +161,11 @@ class ParticleState:
     @property
     def is_solid(self) -> jax.Array:
         return self.is_kind(Kind.SOLID | Kind.BOUNDARY)
+
+    @property
+    def is_fixed(self) -> jax.Array:
+        """Immobile particles (reference isParticleFixed, pair_isph.cpp:165)."""
+        return self.is_kind(Kind.FIXED)
 
 
 @jax.tree_util.register_dataclass

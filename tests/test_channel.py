@@ -217,3 +217,36 @@ def test_wall_pressure_relaxation_satisfies_neumann_rows():
                 np.abs(np.asarray(A.diag)[wall] * np.asarray(dp)[wall]).max())
     assert np.abs(r[wall]).max() <= 1e-5 * scale + 1e-12, (
         np.abs(r[wall]).max(), scale)
+
+
+def test_poiseuille_steady_one_giant_step():
+    """poiseuille-flow-steady-2d.lmp: start FROM the exact steady profile,
+    take ONE backward-Euler step with dt = 10000 — the discrete steady
+    state must be preserved to discretization error (quintic h=0.8dx,
+    MorrisHolmes)."""
+    sim, state = channel.make_poiseuille_steady(48)
+    state, aux = _run(sim, state, 1)
+    err, norm = channel.poiseuille_steady_error(state)
+    assert float(aux.poisson_relres) < 1e-6
+    # h = 0.8 dx (deck) leaves only ~18 quintic neighbors, so the
+    # MorrisHolmes wall error dominates: measured 0.098 (ny=32) -> 0.069
+    # (ny=48); lock the finer point with margin
+    assert float(err / norm) < 0.08, (float(err), float(norm))
+
+
+def test_poiseuille_steady_diagonal_rotational_invariance():
+    """The rotational-invariance content of poiseuille-flow-steady-tilted:
+    a periodic 45-degree channel array must preserve its exact steady
+    profile (one giant implicit step) with the flow staying along the
+    diagonal — off-axis operator accuracy."""
+    sim, st = channel.make_poiseuille_diagonal(28)
+    st, aux = _run(sim, st, 1)
+    e, nrm = channel.poiseuille_diagonal_error(st)
+    assert float(aux.poisson_relres) < 1e-6
+    assert float(e / nrm) < 0.25, (float(e), float(nrm))
+    # cross-channel velocity stays small: u.(1,-1)/sqrt(2)
+    w = np.asarray(st.is_fluid & st.valid)
+    vx, vy = np.asarray(st.vstar[0]), np.asarray(st.vstar[1])
+    cross = np.abs(vx - vy)[w] / np.sqrt(2.0)
+    along = np.abs(vx + vy)[w] / np.sqrt(2.0)
+    assert cross.max() < 0.2 * along.max(), (cross.max(), along.max())

@@ -105,3 +105,61 @@ def test_channel_edl_matches_golden():
     rel = float(err / norm)
     assert bool(info.converged)
     assert abs(rel / 4.210116123449621e-02 - 1.0) < 0.05
+
+
+def test_pb_dielectric_second_order():
+    """Spatially varying eps(x,y) = sqrt(1+x^2+y^2) manufactured solution
+    (poisson-boltzmann-dielectric.xml) converges at ~2nd order — exercises
+    the variable-dielectric branch of the PB residual/Jacobian."""
+    from isph_tpu.models.decks import build_deck
+
+    def err_at(n):
+        sim, state, extra_f, psi_ex = build_deck(
+            "poisson-boltzmann-dielectric-2d", n=n)
+        nbrs = sim.neighbors(state)
+        assert int(nbrs.overflow) == 0
+        geom = sim.geometry(state, nbrs)
+        pre = sim.precompute(state, geom)
+        psi, psigrad, info = ek.solve_poisson_boltzmann(
+            state, geom, pre, sim.cfg, extra_f=extra_f)
+        assert bool(info.converged)
+        w = state.valid.astype(float)
+        return float(jnp.sqrt((((psi - psi_ex) * w) ** 2).sum() / w.sum()))
+
+    e16, e32 = err_at(16), err_at(32)
+    rate = np.log2(e16 / e32)
+    assert 1.5 < rate < 2.6, (e16, e32, rate)
+
+
+def test_channel_edl_const_extension_convergence():
+    """Channel EDL with ConstExtension walls (mirror=None — the reference
+    routes ConstExtension through the plain assembly,
+    pair_isph_corrected.cpp:440-480 case ConstExtension) against the
+    recorded table conv-channel-edl-potential-2d-constext-rev399.txt:
+    rel. error 4.899e-01 (N=32) -> 2.876e-01 (N=64), rate ~0.95 (1st order
+    — ConstExtension's known accuracy; MorrisHolmes above is 2nd order).
+
+    Our measured errors are 2.660e-01 -> 1.481e-01: the SAME first-order
+    rate with a ~1.8x smaller constant (the rev399 run predates the rev722
+    wall-extension fixes the MorrisHolmes table reflects).  The test locks
+    the rate to the golden's first-order behavior and our constant as an
+    upper bound so a regression toward the old error is caught."""
+    from isph_tpu.models import edl
+
+    rels = {}
+    for n in (32, 64):
+        sim, state = edl.make_channel_edl(n)
+        nbrs = sim.neighbors(state)
+        geom = sim.geometry(state, nbrs)
+        pre = sim.precompute(state, geom)
+        psi, psigrad, info = ek.solve_poisson_boltzmann(
+            state, geom, pre, sim.cfg, mirror=None)
+        err, norm = edl.psi_error(state, psi)
+        assert bool(info.converged)
+        rels[n] = float(err / norm)
+    rate = np.log2(rels[32] / rels[64])
+    assert 0.6 < rate < 1.4, (rels, rate)  # golden: 0.77 (ours: ~0.85)
+    # never worse than the reference's recorded ConstExtension accuracy
+    assert rels[32] <= 4.899e-01 and rels[64] <= 2.877e-01, rels
+    # regression lock on our own constants (+2%)
+    assert rels[32] <= 0.2661 * 1.02 and rels[64] <= 0.1481 * 1.02, rels
