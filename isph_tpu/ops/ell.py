@@ -59,11 +59,9 @@ class ELL:
         once per step; matvec runs hundreds of times inside Krylov scans,
         where the (K, N) ``vals*mask`` product was measured to cost ~30% of
         SpMV wall because XLA does not hoist it out of the scan)."""
-        if (
-            self.plan is not None
-            and x.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
-        ):
+        from isph_tpu.ops.spmv_pallas import use_pallas
+
+        if use_pallas(self.plan, x.dtype):
             from isph_tpu.ops.spmv_pallas import spmv
 
             # (d, N) multivectors go through in ONE kernel call: the vals/idx

@@ -89,9 +89,9 @@ class PairGeom:
         bitmasks are <= 127, phase ids < 4 — both exact in f32).  The XLA
         ``f[idx]`` fallback lowers to a serialized scalar gather measured
         50+ ms per (C, N) sweep on TPU."""
-        if self.plan is not None and jax.default_backend() == "tpu":
-            from isph_tpu.ops.spmv_pallas import take
+        from isph_tpu.ops.spmv_pallas import take, use_pallas
 
+        if use_pallas(self.plan):
             if f.dtype == jnp.float32:
                 return take(self.plan, f)
             if f.dtype in (jnp.int32, jnp.uint32, jnp.bool_, jnp.int8):
@@ -314,10 +314,9 @@ def compute_pair_geometry(
     dtype = x.dtype
     xw = domain.wrap(x)
     maskf = nbrs.mask.astype(dtype)
-    if (nbrs.plan is not None and dtype == jnp.float32
-            and jax.default_backend() == "tpu"):
-        from isph_tpu.ops.spmv_pallas import take
+    from isph_tpu.ops.spmv_pallas import take, use_pallas
 
+    if use_pallas(nbrs.plan, dtype):
         xj = take(nbrs.plan, xw)  # (D, K, N) via the fast kernel
     else:
         xj = xw[:, nbrs.idx]

@@ -282,6 +282,19 @@ def _take_kernel(
                 out_ref[comp, sl, lanes] = gv[comp]
 
 
+# test hook: force the pallas kernels (in interpret mode off-TPU) even when
+# the dispatch would fall back to XLA — lets the multichip dryrun execute the
+# gather-plan path under shard_map on the virtual CPU mesh (VERDICT r3 #4)
+FORCE_PALLAS = False
+
+
+def use_pallas(plan, dtype=jnp.float32) -> bool:
+    """Dispatch predicate shared by ELL.matvec / PairGeom.gather."""
+    return plan is not None and dtype == jnp.float32 and (
+        jax.default_backend() == "tpu" or FORCE_PALLAS
+    )
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 

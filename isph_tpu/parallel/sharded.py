@@ -316,6 +316,8 @@ class ShardedSimulation:
         return ext, comm, geom, pre, overflow
 
     def _step_local(self, state: ParticleState) -> Tuple[ParticleState, StepAux]:
+        if self.cfg.backend == "mls_ale":
+            return self._step_local_ale(state)
         cfg = self.cfg
         axis = self.axis
         dom = self.sim.domain
@@ -376,11 +378,23 @@ class ShardedSimulation:
             ext = ext.replace(f=f)
 
         # ---- Helmholtz (momentum predictor) ------------------------------
-        A_h, b_h = ns_projection.helmholtz_system(ext, geom, pre, cfg)
-        if abs(cfg.ns.theta) < 1e-14:
+        if cfg.ns.is_block_helmholtz_enabled:
+            # coupled dim x dim block system under the slab decomposition
+            # (reference: Belos GMRES over the MPI-distributed Thyra block
+            # operator, solver_lin.cpp:78-107) — halo refresh per block
+            # matvec, one psum per iteration through the flattened dots
+            from isph_tpu.physics.block_helmholtz import solve_block_helmholtz
+
+            vstar, hres = solve_block_helmholtz(
+                ext, geom, pre, cfg, axis_name=axis,
+                exchange=comm.refresh, ownedf=comm.ownedf,
+            )
+        elif abs(cfg.ns.theta) < 1e-14:
+            A_h, b_h = ns_projection.helmholtz_system(ext, geom, pre, cfg)
             vstar = b_h * comm.ownedf[None, :]
             hres = None
         else:
+            A_h, b_h = ns_projection.helmholtz_system(ext, geom, pre, cfg)
             # all velocity components in ONE batched Krylov run (Belos Block
             # GMRES multivector parity, pair_isph.cpp:936-971): vmap batches
             # the halo ppermutes and fuses the per-component psums into one
@@ -507,6 +521,83 @@ class ShardedSimulation:
                               else jnp.asarray(0.0, dtype)),
             poisson_iters=pres.iters,
             poisson_relres=pres.relres,
+            neighbor_overflow=overflow,
+        )
+        return new_state, aux
+
+    # ------------------------------------------------------------------
+    def _step_local_ale(self, state: ParticleState) -> Tuple[ParticleState, StepAux]:
+        """Sharded MLS/ALE velocity-correction step (the reference runs the
+        MLS pair under the same MPI decomposition,
+        mls-src/pair_isph_mls.cpp:553-827): BDF advance on owned particles,
+        borders build, then the 4-stage ALE solve with halo refreshes inside
+        every Krylov matvec, and migration at the end.  Particle shifting is
+        not yet wired on this path (assert below)."""
+        from isph_tpu.physics import ale
+
+        cfg = self.cfg
+        axis = self.axis
+        dom = self.sim.domain
+        n_loc, H = self.n_loc, self.halo
+        dtype = state.dtype
+        assert not cfg.shift.enabled, "sharded ALE: shifting not wired yet"
+        hist = state.ale_hist
+        assert hist is not None, "call ShardedSimulation.prepare for ALE"
+
+        me = lax.axis_index(axis)
+        my_lo = dom.lo[0] + me.astype(dtype) * jnp.asarray(self.slab_w, dtype)
+        my_hi = my_lo + self.slab_w
+
+        # initial-integrate: BDF-extrapolated move of OWNED particles
+        # (FixISPH::initial_integrate -> advanceTime, fix_isph.cpp:110-126)
+        state, hist = ale.ale_advance(state, hist, cfg, dom, cfg.mls.bdf_order)
+        state = state.replace(ale_hist=hist)
+
+        ext, comm, geom, pre, bord_overflow = self._borders(state, my_lo, my_hi)
+        ext = ext.replace(f=jnp.zeros_like(ext.v))
+        if self.sim.extra_force is not None:
+            ext = ext.replace(f=self.sim.extra_force(ext, dom))
+
+        # hist leaves extended with dead halo slots: the BDF difference is
+        # only consumed on owned rows (halo vstar is overwritten by the
+        # in-solve exchanges)
+        n_loc_ = state.x.shape[-1]
+        hist_ext = jax.tree.map(
+            lambda a: (jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (2 * H,), a.dtype)], axis=-1)
+                if a.ndim > 0 and a.shape[-1] == n_loc_ else a),
+            hist,
+        )
+        ext, info = ale.ale_navier_stokes_step(
+            ext, geom, pre, hist_ext, cfg, dom,
+            order=cfg.mls.bdf_order, basis_order=cfg.mls.basis_order,
+            axis_name=axis, exchange=comm.refresh, ownedf=comm.ownedf,
+        )
+
+        def shrink(tree):
+            def leaf(f):
+                if f is None or f.ndim == 0:
+                    return f
+                return f[..., :n_loc]
+            return jax.tree.map(leaf, tree, is_leaf=lambda a: a is None)
+
+        new_state = shrink(ext)
+        new_state = new_state.replace(ale_hist=hist)
+        new_state, mig_overflow = self._migrate(new_state, my_lo, my_hi)
+
+        if new_state.step is not None:
+            new_state = new_state.replace(step=new_state.step + 1)
+        time = (
+            new_state.step.astype(dtype) if new_state.step is not None else 0.0
+        ) * cfg.dt
+        status = compute_status(new_state, pre.vfrac[:n_loc], time, axis_name=axis)
+        overflow = lax.psum(bord_overflow + mig_overflow, axis)
+        aux = StepAux(
+            status=status,
+            helmholtz_iters=info.helmholtz.iters.sum(),
+            helmholtz_relres=info.helmholtz.relres.max(),
+            poisson_iters=info.poisson.iters,
+            poisson_relres=info.poisson.relres,
             neighbor_overflow=overflow,
         )
         return new_state, aux
@@ -652,6 +743,11 @@ class ShardedSimulation:
             fv = getattr(state, k)
             if fv is not None:
                 leaves[k] = place(fv)
+        if state.ale_hist is not None:
+            # BDF history rides with its particle (time_bdf.h restart caveat:
+            # the reference ships vprev/xprev through comm->exchange via
+            # AtomVecISPH pack/unpack_exchange)
+            leaves["ale_hist"] = jax.tree.map(place, state.ale_hist)
         new_valid = stay.at[put].set(True, mode="drop")
         return state.replace(valid=new_valid, **leaves), overflow
 
@@ -667,6 +763,11 @@ class ShardedSimulation:
         n = state.x.shape[-1]
         dim = state.dim
         dtype = state.dtype
+        if self.cfg.backend == "mls_ale" and state.ale_hist is None:
+            from isph_tpu.physics import ale
+
+            state = state.replace(ale_hist=ale.ALEHistory.init(
+                state, self.cfg.mls.bdf_order, self.cfg.dt))
         if self.cfg.solver.recycle_k > 0 and state.solver_cache is None:
             state = state.replace(solver_cache=init_recycle(
                 self.n_dev * self.n_loc, self.cfg.solver.recycle_k, dtype,
@@ -752,8 +853,12 @@ class ShardedSimulation:
         scalars are replicated (their reductions psum over the mesh)."""
         from isph_tpu.parallel.mesh import particle_sharding_spec
 
+        n_tot = state.x.shape[-1]
         specs = jax.tree.map(
-            lambda leaf: particle_sharding_spec(leaf, self.axis), state
+            lambda leaf: (particle_sharding_spec(leaf, self.axis)
+                          if leaf.ndim > 0 and leaf.shape[-1] == n_tot
+                          else P()),
+            state,
         )
 
         def run(st):
@@ -773,6 +878,11 @@ def partition_state(
     [d*n_loc, (d+1)*n_loc) holding the particles whose x0 falls in slab d
     (padding slots invalid).  Host-side, once per run (LAMMPS initial domain
     decomposition parity)."""
+    # wrap coordinates into the domain first: a particle whose raw x sits
+    # just outside (e.g. jittered lattices) belongs to the slab of its
+    # WRAPPED image — the raw-coordinate floor assigned it to the clamped
+    # edge slab where the local frame can't see it (dropped pairs)
+    state = state.replace(x=domain.wrap(state.x))
     x0 = np.asarray(state.x[0])
     valid = np.asarray(state.valid)
     slab_w = domain.length[0] / n_dev

@@ -148,8 +148,23 @@ def ale_navier_stokes_step(
     order: int = 2,
     basis_order: int = 2,
     axis_name=None,
+    exchange=None,
+    ownedf=None,
 ) -> Tuple[ParticleState, ALEInfo]:
-    """Steps 1-4 of the ALE scheme on MLS operators."""
+    """Steps 1-4 of the ALE scheme on MLS operators.
+
+    Distributed (the reference runs the MLS/ALE pair under the same MPI
+    decomposition, mls-src/pair_isph_mls.cpp:553-700): pass ``exchange``
+    (halo refresh of Krylov iterates), ``ownedf`` (owned-row mask) and
+    ``axis_name``; the caller must hand in an EXTENDED state whose halo
+    fields are already refreshed and whose ``valid`` marks owned rows only.
+    """
+    own = (lambda v: v) if ownedf is None else (lambda v: v * ownedf)
+
+    def dist_mv(A):
+        if exchange is None:
+            return A.matvec
+        return lambda v: own(A.matvec(exchange(v)))
     dtype = state.dtype
     dim = state.dim
     dt = cfg.dt
@@ -185,6 +200,9 @@ def ale_navier_stokes_step(
     vstar = (vdiff + dt * (-state.nu[None, :] * curlcurl - adv
                            + body + g[:, None])) / gamma
     vstar = jnp.where(fluid[None, :], vstar, state.v)
+    if exchange is not None:
+        # comm Vstar after the predict (pair_isph.cpp:1086-1093)
+        vstar = exchange(vstar)
 
     # --- step 2: Poisson for p --------------------------------------------
     lap_betas = [(2, 0, 0), (0, 2, 0), (0, 0, 2)][:dim]
@@ -231,7 +249,7 @@ def ale_navier_stokes_step(
         null_vec = None
         if cfg.ns.singular_poisson == SingularPoisson.NULL_SPACE:
             null_vec = rows.astype(dtype)
-        pres = gmres(A.matvec, b, jnp.zeros_like(b), M=jacobi(A),
+        pres = gmres(dist_mv(A), own(b), jnp.zeros_like(b), M=jacobi(A),
                      tol=cfg.solver.tol, restart=cfg.solver.restart,
                      max_restarts=cfg.solver.max_restarts, null_vec=null_vec,
                      axis_name=axis_name)
@@ -244,6 +262,8 @@ def ale_navier_stokes_step(
             s = jax.lax.psum(s, axis_name)
             c = jax.lax.psum(c, axis_name)
         p = jnp.where(rows, p - s / jnp.maximum(c, 1.0), 0.0)
+        if exchange is not None:
+            p = exchange(p)  # comm Pressure (pair_isph.cpp:1100-1132)
     else:
         A = mls.operator_matrix(
             basis, geom, rth, state.kind, filt_ff, Minv, betas=lap_betas, alpha=-dt
@@ -257,11 +277,13 @@ def ale_navier_stokes_step(
         null_vec = None
         if cfg.ns.singular_poisson == SingularPoisson.NULL_SPACE:
             null_vec = fluid.astype(dtype)
-        pres = gmres(A.matvec, b, jnp.zeros_like(b), M=jacobi(A),
+        pres = gmres(dist_mv(A), own(b), jnp.zeros_like(b), M=jacobi(A),
                      tol=cfg.solver.tol, restart=cfg.solver.restart,
                      max_restarts=cfg.solver.max_restarts, null_vec=null_vec,
                      axis_name=axis_name)
         p = zero_mean_pressure(pres.x, state, axis_name=axis_name)
+        if exchange is not None:
+            p = exchange(p)  # comm Pressure (pair_isph.cpp:1100-1132)
 
     # --- step 3: correct ---------------------------------------------------
     qp = mls.moment_helper(basis, geom, rth, p, state.kind, filt_ff)
@@ -269,6 +291,8 @@ def ale_navier_stokes_step(
     vstar = jnp.where(
         fluid[None, :], vstar - (dt / gamma) * grad_p / state.rho[None, :], vstar
     )
+    if exchange is not None:
+        vstar = exchange(vstar)  # halo vstar feeds the step-4 moments
 
     # --- step 4: Helmholtz for v^{n+1} -------------------------------------
     filt_fs = PairFilter(Kind.FLUID, Kind.FLUID | Kind.SOLID | Kind.BOUNDARY)
@@ -289,13 +313,17 @@ def ale_navier_stokes_step(
     b_h = jnp.where(fluid[None, :], b_h, state.v)
 
     hres = jax.vmap(
-        lambda bc, xc: gmres(H.matvec, bc, xc, M=jacobi(H), tol=cfg.solver.tol,
+        lambda bc, xc: gmres(dist_mv(H), bc, xc, M=jacobi(H),
+                             tol=cfg.solver.tol,
                              restart=cfg.solver.restart,
                              max_restarts=cfg.solver.max_restarts,
                              axis_name=axis_name),
         in_axes=0, out_axes=0,
-    )(b_h, state.v)
+    )(own(b_h), own(state.v))
     v_new = hres.x
+    if exchange is not None:
+        # comm Velocity after the ALE Helmholtz (pair_isph.cpp:1159-1167)
+        v_new = exchange(v_new)
 
     state = state.replace(v=v_new, vstar=vstar, p=p)
     return state, ALEInfo(poisson=pres, helmholtz=hres)

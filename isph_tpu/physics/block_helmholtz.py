@@ -177,15 +177,25 @@ def block_helmholtz_system(
 
 def solve_block_helmholtz(
     state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig,
-    *, axis_name=None,
+    *, axis_name=None, exchange=None, ownedf=None,
 ):
     """Solve the coupled system as one flattened GMRES (the reference uses
-    Belos on the Thyra-blocked operator)."""
+    Belos on the Thyra-blocked operator, solver_lin.cpp:78-107).
+
+    Distributed (reference: the same Belos GMRES over the MPI-distributed
+    Thyra block operator): pass ``exchange`` (halo refresh of the (D, N_ext)
+    iterate before each block matvec), ``ownedf`` (owned-row mask so the
+    psum'd dots count every row once) and ``axis_name``.
+    """
     A, b = block_helmholtz_system(state, geom, pre, cfg)
     dim, N = b.shape
+    own = (lambda v: v) if ownedf is None else (lambda v: v * ownedf[None, :])
 
     def mv(xflat):
-        return A.matvec(xflat.reshape(dim, N)).reshape(-1)
+        xm = xflat.reshape(dim, N)
+        if exchange is not None:
+            xm = exchange(xm)
+        return own(A.matvec(xm)).reshape(-1)
 
     dd = jnp.stack([A.diag[a, a] for a in range(dim)])  # (D, N)
     dinv = jnp.where(jnp.abs(dd) > 0, 1.0 / jnp.where(dd == 0, 1.0, dd), 1.0)
@@ -193,7 +203,7 @@ def solve_block_helmholtz(
     def M(xflat):
         return (xflat.reshape(dim, N) * dinv).reshape(-1)
 
-    res = gmres(mv, b.reshape(-1), state.v.reshape(-1), M=M,
+    res = gmres(mv, own(b).reshape(-1), own(state.v).reshape(-1), M=M,
                 tol=cfg.solver.tol, restart=cfg.solver.restart,
                 max_restarts=cfg.solver.max_restarts, axis_name=axis_name)
     return res.x.reshape(dim, N), res

@@ -126,9 +126,19 @@ def solve_qeq(
     valid: jax.Array,
     *,
     axis_name=None,
+    exchange=None,
 ) -> QEqResult:
-    """One charge-equilibration step (FixQEqReax::pre_force)."""
+    """One charge-equilibration step (FixQEqReax::pre_force).
+
+    Distributed (the reference's MPI CG, fix_qeq_reax.cpp:883-1073: halo
+    forward-comm of the iterate per sparse_matvec + allreduce dots): pass
+    ``valid`` = owned-and-valid mask, ``exchange`` = halo refresh, and
+    ``axis_name`` — both CG solves then psum their dots and the q
+    normalization sums over the mesh.
+    """
     dtype = geom.r.dtype
+    # assembly keeps ALL valid rows (halo rows included) so owned rows see
+    # halo columns; owned masking below restricts the Krylov vectors
     H = assemble_h(geom, type_id, params, valid)
     chi = jnp.asarray(params.chi, dtype)[type_id]
     vf = valid.astype(dtype)
@@ -141,9 +151,15 @@ def solve_qeq(
     t0 = th[2] + 3.0 * (th[0] - th[1])
 
     M = jacobi(H)
-    s_res = cg(H.matvec, b_s, s0, M=M, tol=params.tol, maxiter=params.maxiter,
+    if exchange is not None:
+        mv = lambda v: H.matvec(exchange(v)) * vf
+        s0 = s0 * vf
+        t0 = t0 * vf
+    else:
+        mv = H.matvec
+    s_res = cg(mv, b_s, s0, M=M, tol=params.tol, maxiter=params.maxiter,
                axis_name=axis_name)
-    t_res = cg(H.matvec, b_t, t0, M=M, tol=params.tol, maxiter=params.maxiter,
+    t_res = cg(mv, b_t, t0, M=M, tol=params.tol, maxiter=params.maxiter,
                axis_name=axis_name)
     s, t = s_res.x, t_res.x
 

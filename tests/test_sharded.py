@@ -258,3 +258,155 @@ def test_sharded_recycled_poisson(mesh8):
     # iterations than the cold first solve
     assert iters[2] <= iters[0]
     assert np.isfinite(float(aux.status.vmax))
+
+
+def _mesh2():
+    return Mesh(np.array(jax.devices()[:2]), ("dp",))
+
+
+def test_sharded_block_helmholtz_matches_single_device(mesh8):
+    """Distributed dim x dim block Helmholtz (reference: Belos GMRES over the
+    MPI-distributed Thyra block operator, solver_lin.cpp:78-107): the coupled
+    solve under the slab decomposition must reproduce the single-device
+    block solve."""
+    import dataclasses
+
+    sim, state = tgv.make_tgv(32, h_factor=1.6)
+    cfg = sim.cfg.replace(ns=dataclasses.replace(
+        sim.cfg.ns, is_block_helmholtz_enabled=True))
+    sim = dataclasses.replace(sim, cfg=cfg)
+    assert sim.cfg.ns.is_block_helmholtz_enabled
+
+    ref_state, ref_aux = sim.run(state, 2)
+
+    n_dev, n_loc = 8, 192
+    ssim = ShardedSimulation(sim=sim, mesh=mesh8, n_loc=n_loc, halo=192,
+                             migrate_cap=32)
+    pstate = partition_state(state, sim.domain, n_dev, n_loc)
+    step = jax.jit(ssim.make_step(pstate))
+    aux = None
+    for _ in range(2):
+        pstate, aux = step(pstate)
+    assert int(aux.neighbor_overflow) == 0
+    ke_s = float(aux.status.kinetic_energy)
+    ke_r = float(ref_aux.status.kinetic_energy)
+    assert abs(ke_s - ke_r) < 1e-9 * max(abs(ke_r), 1e-30), (ke_s, ke_r)
+    ms, mr = np.asarray(pstate.valid), np.asarray(ref_state.valid)
+    (vs,) = _sorted_by_pos(np.asarray(pstate.x)[:, ms],
+                           np.asarray(pstate.v)[:, ms])
+    (vr,) = _sorted_by_pos(np.asarray(ref_state.x)[:, mr],
+                           np.asarray(ref_state.v)[:, mr])
+    np.testing.assert_allclose(vs, vr, atol=1e-9)
+
+
+def test_sharded_ale_matches_single_device(mesh8):
+    """Sharded MLS/ALE velocity-correction step (the reference runs the MLS
+    pair under MPI, mls-src/pair_isph_mls.cpp:553-827): two steps must
+    reproduce the single-device ALE trajectory."""
+    import dataclasses
+
+    sim, state = tgv.make_tgv(32, h_factor=1.6)
+    cfg = sim.cfg.replace(backend="mls_ale")
+    sim = dataclasses.replace(sim, cfg=cfg)
+
+    ref_state = sim.prepare(state)
+    ref_aux = None
+    step_ref = jax.jit(sim.step_fn())
+    for _ in range(2):
+        ref_state, ref_aux = step_ref(ref_state)
+
+    n_dev, n_loc = 8, 192
+    ssim = ShardedSimulation(sim=sim, mesh=mesh8, n_loc=n_loc, halo=192,
+                             migrate_cap=32)
+    pstate = ssim.prepare(partition_state(state, sim.domain, n_dev, n_loc))
+    step = jax.jit(ssim.make_step(pstate))
+    aux = None
+    for _ in range(2):
+        pstate, aux = step(pstate)
+    assert int(aux.neighbor_overflow) == 0
+    ke_s = float(aux.status.kinetic_energy)
+    ke_r = float(ref_aux.status.kinetic_energy)
+    assert abs(ke_s - ke_r) < 1e-8 * max(abs(ke_r), 1e-30), (ke_s, ke_r)
+    ms, mr = np.asarray(pstate.valid), np.asarray(ref_state.valid)
+    xs, vs = _sorted_by_pos(np.asarray(pstate.x)[:, ms],
+                            np.asarray(pstate.x)[:, ms],
+                            np.asarray(pstate.v)[:, ms])
+    xr, vr = _sorted_by_pos(np.asarray(ref_state.x)[:, mr],
+                            np.asarray(ref_state.x)[:, mr],
+                            np.asarray(ref_state.v)[:, mr])
+    # f64 solver-tolerance differences (different psum reduction order in
+    # the distributed GMRES at tol 1e-8) show up at ~1e-8 in positions
+    np.testing.assert_allclose(xs, xr, atol=1e-7)
+    np.testing.assert_allclose(vs, vr, atol=1e-7)
+
+
+def test_sharded_qeq_matches_single_device():
+    """Distributed QEq dual CG (reference fix_qeq_reax.cpp:883-1073: halo
+    forward-comm per sparse_matvec + allreduce dots) over a 2-slab mesh of
+    the 3-D crystal must match the single-device charges."""
+    from isph_tpu.physics import qeq
+    from isph_tpu.state import Kind, make_state, Domain as Dom
+    from isph_tpu.config import (KernelConfig, KernelType, NeighborConfig,
+                                 SimulationConfig)
+    from isph_tpu.models.driver import Simulation
+    from tests.test_qeq import _setup
+
+    geom, type_id, params, valid, n = _setup()
+    q0 = qeq.QEqState.zeros(n, jnp.float64)
+    ref = qeq.solve_qeq(geom, type_id, params, q0, valid)
+
+    # rebuild the same crystal as a sharded state (type_id rides state.phase)
+    dxs, n_side, cutoff = 3.1, 5, 5.0
+    L = n_side * dxs
+    rng = np.random.default_rng(0)
+    grid = np.stack(np.meshgrid(*[np.arange(n_side)] * 3, indexing="ij"),
+                    -1).reshape(-1, 3) * dxs
+    grid += rng.uniform(-0.15, 0.15, grid.shape)
+    state = make_state(grid, kind=np.full(n, Kind.FLUID_BIT, np.int32),
+                       rho=1.0, nu=0.0, pad_to=n, dtype=jnp.float64)
+    state = state.replace(phase=type_id)
+    cfg = SimulationConfig(
+        dim=3, h=cutoff / 2.0, dt=1.0,
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        neighbor=NeighborConfig(max_neighbors=96, cell_capacity=64),
+    )
+    dom = Dom(lo=(0.0,) * 3, hi=(L,) * 3, periodic=(True,) * 3)
+    sim = Simulation(cfg=cfg, domain=dom)
+
+    mesh = _mesh2()
+    n_loc = 96
+    ssim = ShardedSimulation(sim=sim, mesh=mesh, n_loc=n_loc, halo=96,
+                             migrate_cap=16)
+    pstate = partition_state(state, dom, 2, n_loc)
+
+    def local(st):
+        from jax import lax
+        me = lax.axis_index("dp")
+        my_lo = dom.lo[0] + me.astype(st.dtype) * jnp.asarray(ssim.slab_w, st.dtype)
+        my_hi = my_lo + ssim.slab_w
+        ext, comm, geom_l, pre, ovf = ssim._borders(st, my_lo, my_hi)
+        qs = qeq.QEqState.zeros(ext.x.shape[-1], st.dtype)
+        res = qeq.solve_qeq(geom_l, ext.phase, params, qs, comm.owned,
+                            axis_name="dp", exchange=comm.refresh)
+        return res.state.q[: ssim.n_loc], ovf
+
+    from jax.sharding import PartitionSpec as P
+    specs = jax.tree.map(
+        lambda leaf: (P() if leaf is None or leaf.ndim == 0 else
+                      P(*([None] * (leaf.ndim - 1) + ["dp"]))), pstate,
+        is_leaf=lambda a: a is None)
+    q_sh, ovf = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(specs,), out_specs=(P("dp"), P()),
+        check_vma=False,
+    ))(pstate)
+    assert int(np.asarray(ovf).max()) == 0
+
+    def lexkey(xarr):
+        a = np.round(np.asarray(xarr) * 1e6).astype(np.int64)
+        return np.lexsort((a[2], a[1], a[0]))
+
+    vs = np.asarray(pstate.valid)
+    os_ = lexkey(np.asarray(pstate.x)[:, vs])
+    or_ = lexkey(np.mod(grid.T, L))  # partition_state wraps coordinates
+    np.testing.assert_allclose(
+        np.asarray(q_sh)[vs][os_], np.asarray(ref.state.q)[or_], atol=1e-7)
