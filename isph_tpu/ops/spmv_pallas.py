@@ -360,9 +360,17 @@ def spmv(plan: GatherPlan, diag, vals_masked, x):
     is what the per-component dispatch replaced).
     """
     if x.ndim == 2:
+        if x.shape[0] * GROUP * x.shape[1] * 4 > _SCRATCH_BUDGET:
+            return jnp.stack([
+                _spmv_call(plan.cstart, diag, vals_masked, plan.enc,
+                           x[c:c + 1], plan.mc, 8)[0]
+                for c in range(x.shape[0])
+            ])
         return _spmv_call(plan.cstart, diag, vals_masked, plan.enc, x, plan.mc)
+    subcap = 32 if GROUP * x.shape[-1] * 4 <= _SCRATCH_BUDGET else 8
     y = _spmv_call(
         plan.cstart, diag, vals_masked, plan.enc, x.reshape(1, -1), plan.mc,
+        subcap,
     )
     return y.reshape(-1)
 
@@ -396,11 +404,23 @@ def _take_call(cstart, enc, x, mc: tuple):
     )(cstart.reshape(-1), enc, x)
 
 
+# the (ncomp*8, N) broadcast scratch must fit the ~16MB scoped-vmem stack
+# alongside the streamed blocks; past this, components run one per call
+_SCRATCH_BUDGET = 9_000_000  # bytes
+
+
 def take(plan: GatherPlan, x):
     """x[idx] for (K, N) neighbor gathers of an (N,) field (the PairGeom
     gather) via the windowed kernel, idx carried by the plan's pass
-    encoding; (C, N) fields gather in one fused call (see spmv)."""
+    encoding; (C, N) fields gather in one fused call (see spmv) while the
+    broadcast scratch fits VMEM — beyond (C * 8 * N * 4 B > ~9 MB, i.e.
+    N > 256k at C=1) components run separately."""
     if x.ndim == 2:
+        if x.shape[0] * GROUP * x.shape[1] * 4 > _SCRATCH_BUDGET:
+            return jnp.stack(
+                [_take_call(plan.cstart, plan.enc, x[c:c + 1], plan.mc)[0]
+                 for c in range(x.shape[0])]
+            )
         return _take_call(plan.cstart, plan.enc, x, plan.mc)
     out = _take_call(plan.cstart, plan.enc, x.reshape(1, -1), plan.mc)
     return out[0]

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -152,15 +153,100 @@ def make_onehot(agg: jax.Array, nc: int, dtype) -> jax.Array:
     segment-broadcast — XLA lowers the index formulation to serialized
     scalar scatter/gathers on TPU, while the one-hot matmul runs on the MXU
     at memory-bandwidth speed.  Memory is nc*N*4 bytes (N/81-ish aggregates
-    in 2-D => N^2/20 bytes); fine up to ~10^5 particles per chip, beyond
-    which the scatter path or a Pallas segment kernel takes over.
+    in 2-D => N^2/20 bytes); beyond the budget the FACTORED form
+    (:class:`FactoredTransfer`) takes over.
     """
     return (agg[None, :] == jnp.arange(nc, dtype=agg.dtype)[:, None]).astype(dtype)
 
 
+@partial(jax.tree_util.register_dataclass, data_fields=["oh"], meta_fields=[])
+@dataclasses.dataclass
+class DenseTransfer:
+    """restrict/prolong via the full (nc, N) one-hot matmul (MXU)."""
+
+    oh: jax.Array  # (nc, N)
+
+    def restrict(self, v: jax.Array) -> jax.Array:
+        return self.oh @ v
+
+    def prolong(self, xc: jax.Array) -> jax.Array:
+        return xc @ self.oh
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["axes_oh"],
+         meta_fields=["shape"])
+@dataclasses.dataclass
+class FactoredTransfer:
+    """Per-axis factored one-hot transfers for a REGULAR coarse grid.
+
+    The aggregate id is separable (agg = sum_d c_d * stride_d, always true
+    for the spatial-cell aggregation here), so restriction factors into one
+    small MXU matmul per axis: 2-D rc[a, b] = sum_i Ox[a,i] v[i] Oy[b,i]
+    = (Ox . v) @ Oy^T — memory O((ncx + ncy) N) instead of O(ncx ncy N),
+    which is what lets the production AMG scale past ~10^5 particles per
+    chip (the reference leans on Epetra's distributed CRS transfers instead,
+    precond_ml.h:40-60).  Axis order matches :func:`_bin_to_grid`'s strides
+    (axis 0 major).  3-D batches the leading axis with lax.map to keep the
+    intermediate at O(ncy ncz + N) per slice.
+    """
+
+    axes_oh: tuple  # per-axis (nc_d, N) 0/1 arrays, axis-0 first
+    shape: tuple  # static (ncx, ncy[, ncz])
+
+    def restrict(self, v: jax.Array) -> jax.Array:
+        ohs = self.axes_oh
+        if len(ohs) == 2:
+            t = (ohs[0] * v[None, :]) @ ohs[1].T  # (ncx, ncy)
+            return t.reshape(-1)
+        ox, oy, oz = ohs
+
+        def slab(oxa):  # one x-layer: (N,) membership
+            return ((oy * (oxa * v)[None, :]) @ oz.T).reshape(-1)
+
+        return jax.lax.map(slab, ox).reshape(-1)
+
+    def prolong(self, xc: jax.Array) -> jax.Array:
+        ohs = self.axes_oh
+        if len(ohs) == 2:
+            t = xc.reshape(self.shape)  # [cx, cy]
+            u = ohs[0].T @ t  # (N, ncy)
+            return (u * ohs[1].T).sum(axis=1)
+        ox, oy, oz = ohs
+        t = xc.reshape(self.shape)  # [cx, cy, cz]
+        # u[i, cz] = sum_{cx,cy} Ox[cx,i] Oy[cy,i] t[cx,cy,cz]
+        w = jnp.einsum("ai,abc->ibc", ox, t)  # (N, ncy, ncz) -- big; batch
+        # avoid the (N, ncy, ncz) blowup: contract per cz slice
+        del w
+
+        def comp(tc):  # tc: (ncx, ncy) one z-slice
+            u = ox.T @ tc  # (N, ncy)
+            return (u * oy.T).sum(axis=1)  # (N,)
+
+        per_z = jax.lax.map(comp, jnp.moveaxis(t, 2, 0))  # (ncz, N)
+        return (per_z * oz).sum(axis=0)
+
+
+def make_transfer(x: jax.Array, grid: CoarseGrid, dtype, budget: int):
+    """Level-0 transfer operator: dense one-hot under ``budget`` entries,
+    else the factored per-axis form."""
+    agg = _bin_to_grid(x, grid)
+    if grid.n * x.shape[-1] <= budget:
+        return agg, DenseTransfer(oh=make_onehot(agg, grid.n, dtype))
+    dim, n = x.shape
+    ohs = []
+    for d in range(dim):
+        cd = jnp.floor((x[d] - grid.lo[d]) / grid.csize[d]).astype(jnp.int32)
+        cd = jnp.clip(cd, 0, grid.ncell[d] - 1)
+        ohs.append(
+            (cd[None, :] == jnp.arange(grid.ncell[d], dtype=jnp.int32)[:, None])
+            .astype(dtype)
+        )
+    return agg, FactoredTransfer(axes_oh=tuple(ohs), shape=tuple(grid.ncell))
+
+
 def galerkin_coarse(
     A: ELL, agg: jax.Array, fine_x_agg_of_col: jax.Array, grid: CoarseGrid,
-    onehot: Optional[jax.Array] = None, axis_name: Optional[str] = None,
+    transfer=None, axis_name: Optional[str] = None,
 ) -> ELL:
     """A_c = P^T A P for piecewise-constant P over aggregates.
 
@@ -168,9 +254,8 @@ def galerkin_coarse(
     aggregate id of each fine column entry (= agg[A.idx]).  Off-aggregate
     entries land in the stencil slot determined by the coarse-grid offset
     (arithmetic, no search); same-aggregate entries land on the coarse
-    diagonal.  With ``onehot`` the per-aggregate sums run as (nc, N) matmuls
-    on the MXU (slot membership is decided element-wise first, then one
-    row-sum per stencil slot); without it, scatter-adds (CPU path).
+    diagonal.  With ``transfer`` the per-aggregate sums run as MXU matmuls
+    (Dense or Factored, see above); without it, scatter-adds (CPU path).
     """
     dim = grid.dim
     ncell = np.asarray(grid.ncell)
@@ -220,11 +305,11 @@ def galerkin_coarse(
         jnp.where(off_ok & (slot == s), vm, 0.0).sum(axis=0) for s in range(nslots)
     ]
 
-    if onehot is not None:
+    if transfer is not None:
         # aggregate sums on the MXU
-        cdiag = onehot @ diag_row
-        cvals = jnp.stack([onehot @ r for r in off_rows])
-        touched = onehot.sum(axis=1)
+        cdiag = transfer.restrict(diag_row)
+        cvals = jnp.stack([transfer.restrict(r) for r in off_rows])
+        touched = transfer.restrict(jnp.ones_like(diag_row))
     else:
         cdiag = jnp.zeros((nc,), A.vals.dtype).at[agg].add(diag_row)
         cvals = jnp.stack(
@@ -265,7 +350,7 @@ class AMG:
     levels: List[ELL]  # level 0 = fine
     aggs: List[jax.Array]  # agg id mapping level l -> l+1 (len = len(levels)-1)
     dinvs: List[jax.Array]  # damped l1-Jacobi inverse diagonals per level
-    onehots: List[Optional[jax.Array]]  # (nc, n_l) transfer matrices (or None)
+    transfers: List[Optional[object]]  # Dense/FactoredTransfer (or None)
     coarse_inv: jax.Array  # dense inverse of the coarsest operator
     null_vec: Optional[jax.Array] = None  # normalized fine-level null vector
     npre: int = 2
@@ -309,17 +394,18 @@ class AMG:
         if dist:
             r = r * self.ownedf
         agg = self.aggs[l]
-        oh = self.onehots[l]
-        if oh is not None:
-            rc = oh @ r
+        tr = self.transfers[l]
+        if tr is not None:
+            rc = tr.restrict(r)
         else:
             rc = jnp.zeros((self.levels[l + 1].n,), b.dtype).at[agg].add(r)
         if dist:
             # owned partial restrictions -> replicated coarse residual
             rc = jax.lax.psum(rc, self.axis_name)
         xc = self._cycle(l + 1, rc)
-        if oh is not None:
-            x = x + (xc @ oh if not dist else (xc @ oh) * self.ownedf)
+        if tr is not None:
+            corr = tr.prolong(xc)
+            x = x + (corr if not dist else corr * self.ownedf)
         else:
             x = x + (xc[agg] if not dist else xc[agg] * self.ownedf)
         x = self._smooth(l, A, x, b, self.npost)
@@ -355,7 +441,12 @@ def build_amg(
     npost: int = 2,
     omega: float = 0.8,
     coarse_reg: float = 1.0e-8,
-    onehot_budget: int = 64_000_000,
+    # dense one-hot cutover: a (nc, N) one-hot is read TWICE per V-cycle
+    # (restrict + prolong) — at 256^2 (nc*N = 51M, 205 MB) that alone costs
+    # ~0.5 ms/cycle on v5e HBM, 14x a fine matvec.  4M entries (16 MB) keeps
+    # the dense path only where it is genuinely cheap; factored transfers
+    # cover everything else at O((ncx+ncy) N) traffic.
+    onehot_budget: int = 4_000_000,
     null_vec: Optional[jax.Array] = None,
     exchange=None,
     owned: Optional[jax.Array] = None,
@@ -364,26 +455,19 @@ def build_amg(
     """Assemble the AMG hierarchy for the current matrix/positions.
 
     Static structure (grids, stencils) depends only on the domain and cutoff;
-    values are recomputed from A each call, so this traces into jit.  One-hot
-    transfer matmuls (MXU) are used whenever nc*N fits ``onehot_budget``
-    entries, else the scatter path.
+    values are recomputed from A each call, so this traces into jit.  Dense
+    one-hot transfer matmuls (MXU) are used whenever nc*N fits
+    ``onehot_budget`` entries; beyond it the FACTORED per-axis transfers
+    take over (memory O(sum_d nc_d * N)), so the MXU path covers any N.
     """
     grids = make_coarse_grids(domain, cutoff, coarsen=coarsen, min_n=min_coarse)
     dtype = A.vals.dtype
     levels = [A]
     aggs = []
-    onehots = []
+    transfers = []
 
-    def one_level(Af, agg, grid, ax=None):
-        nc = grid.n
-        oh = None
-        if nc * Af.n <= onehot_budget:
-            oh = make_onehot(agg, nc, dtype)
-        col_agg = agg[Af.idx]
-        Ac = galerkin_coarse(Af, agg, col_agg, grid, onehot=oh, axis_name=ax)
-        return Ac, oh
-
-    agg0 = _bin_to_grid(x, grids[0])
+    # level 0 fine transfer: dense under budget, else factored per-axis
+    agg0, tr0 = make_transfer(x, grids[0], dtype, onehot_budget)
     # Distributed fine level: owned rows only feed the Galerkin partial sums
     # (halo rows replicate a neighbor device's owned rows and would double
     # count under the psum); x must carry GLOBAL wrapped coordinates so halo
@@ -394,16 +478,23 @@ def build_amg(
         A_galerkin = A.zero_rows(~owned_b).with_diag(
             jnp.where(owned_b, A.diag, jnp.zeros_like(A.diag))
         )
-    Ac, oh = one_level(A_galerkin, agg0, grids[0], ax=axis_name)
+    # (halo rows of A_galerkin are fully zeroed, so their restriction
+    # contributions vanish without masking the transfer itself)
+    col_agg0 = agg0[A.idx]
+    Ac = galerkin_coarse(A_galerkin, agg0, col_agg0, grids[0],
+                         transfer=tr0, axis_name=axis_name)
     levels.append(Ac)
     aggs.append(agg0)
-    onehots.append(oh)
+    transfers.append(tr0)
     for l in range(1, len(grids)):
         parent = _grid_parent(grids[l - 1], grids[l])
-        Ac, oh = one_level(levels[-1], parent, grids[l])
+        oh = DenseTransfer(oh=make_onehot(parent, grids[l].n, dtype))
+        col_agg = parent[levels[-1].idx]
+        Ac = galerkin_coarse(levels[-1], parent, col_agg, grids[l],
+                             transfer=oh)
         levels.append(Ac)
         aggs.append(parent)
-        onehots.append(oh)
+        transfers.append(oh)
 
     # smoother diagonals (damped l1-Jacobi) per level
     dinvs = []
@@ -449,6 +540,6 @@ def build_amg(
         if axis_name is not None:
             nsq = jax.lax.psum(nsq, axis_name)
         nh = null_vec / jnp.maximum(jnp.sqrt(nsq), 1e-30)
-    return AMG(levels=levels, aggs=aggs, dinvs=dinvs, onehots=onehots,
+    return AMG(levels=levels, aggs=aggs, dinvs=dinvs, transfers=transfers,
                coarse_inv=coarse_inv, null_vec=nh, npre=npre, npost=npost,
                exchange=exchange, ownedf=owned, axis_name=axis_name)

@@ -66,3 +66,76 @@ def test_amg_vcycle_is_linear():
     lhs = np.asarray(M.apply(2.0 * u + 3.0 * v))
     rhs = 2.0 * np.asarray(M.apply(u)) + 3.0 * np.asarray(M.apply(v))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-10, atol=1e-12)
+
+
+def test_factored_transfer_matches_dense():
+    """FactoredTransfer restrict/prolong must equal the dense one-hot path
+    (it replaces it past the memory budget for production sizes)."""
+    import numpy as np
+
+    from isph_tpu.models import tgv
+    from isph_tpu.solvers import amg as amg_mod
+
+    sim, state = tgv.make_tgv(24)
+    grids = amg_mod.make_coarse_grids(sim.domain, sim.cfg.cut)
+    agg_d, dense = amg_mod.make_transfer(state.x, grids[0], state.dtype, 10**9)
+    agg_f, fact = amg_mod.make_transfer(state.x, grids[0], state.dtype, 0)
+    assert isinstance(dense, amg_mod.DenseTransfer)
+    assert isinstance(fact, amg_mod.FactoredTransfer)
+    np.testing.assert_array_equal(np.asarray(agg_d), np.asarray(agg_f))
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(state.n))
+    np.testing.assert_allclose(np.asarray(fact.restrict(v)),
+                               np.asarray(dense.restrict(v)), atol=1e-12)
+    xc = jnp.asarray(rng.standard_normal(grids[0].n))
+    np.testing.assert_allclose(np.asarray(fact.prolong(xc)),
+                               np.asarray(dense.prolong(xc)), atol=1e-12)
+
+
+def test_factored_transfer_3d():
+    from isph_tpu.models import tgv
+    from isph_tpu.config import KernelType
+    from isph_tpu.solvers import amg as amg_mod
+    import numpy as np
+
+    sim, state = tgv.make_tgv(8, dim=3, kernel=KernelType.WENDLAND,
+                              max_neighbors=128)
+    grids = amg_mod.make_coarse_grids(sim.domain, sim.cfg.cut)
+    agg_d, dense = amg_mod.make_transfer(state.x, grids[0], state.dtype, 10**9)
+    agg_f, fact = amg_mod.make_transfer(state.x, grids[0], state.dtype, 0)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(state.n))
+    np.testing.assert_allclose(np.asarray(fact.restrict(v)),
+                               np.asarray(dense.restrict(v)), atol=1e-12)
+    xc = jnp.asarray(rng.standard_normal(grids[0].n))
+    np.testing.assert_allclose(np.asarray(fact.prolong(xc)),
+                               np.asarray(dense.prolong(xc)), atol=1e-12)
+
+
+def test_amg_with_factored_transfers_converges():
+    """Force the factored path (budget 0) on the TGV Poisson and check the
+    preconditioned GMRES converges as fast as the dense path."""
+    import numpy as np
+
+    from isph_tpu.models import tgv
+    from isph_tpu.physics import ns_projection as ns
+    from isph_tpu.solvers.amg import build_amg
+    from isph_tpu.solvers.krylov import gmres
+
+    sim, state = tgv.make_tgv(24)
+    cfg = sim.cfg
+    nbrs = sim.neighbors(state)
+    geom = sim.geometry(state, nbrs)
+    pre = sim.precompute(state, geom)
+    A, b = ns.poisson_system(state, geom, pre, cfg, state.v)
+    null = (state.is_fluid & state.valid).astype(state.dtype)
+
+    its = {}
+    for name, budget in [("dense", 10**9), ("factored", 0)]:
+        M = build_amg(A, state.x, sim.domain, cfg.cut, null_vec=null,
+                      onehot_budget=budget).apply
+        res = gmres(A.matvec, b, jnp.zeros_like(b), M=M, tol=1e-8,
+                    restart=50, max_restarts=10, null_vec=null)
+        assert bool(res.converged), name
+        its[name] = int(res.iters)
+    assert its["factored"] <= its["dense"] + 2, its
