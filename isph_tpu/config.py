@@ -170,6 +170,9 @@ class NeighborConfig:
     max_neighbors: int = 64  # K: padded neighbor width
     cell_capacity: int = 32  # max particles per cell bin
     gather_chunks: object = 0  # truthy: build a pallas windowed-gather plan
+    # truthy (lanes, multiple of 128): convert the plan to the HBM-streaming
+    # band-window form for N beyond the VMEM-resident-x limit (~256k/chip)
+    stream_window: int = 0
     # (ops/spmv_pallas.py) — either one int (uniform chunk-list width) or a
     # tuple of per-8-slot-group widths (len max_neighbors//8); 0 disables.
     # Requires N % 128 == 0 (pad_multiple=128) and spatially sorted particles.

@@ -74,6 +74,7 @@ class Simulation:
             state.x, state.valid, self.domain, self.cfg.cut,
             self.cfg.neighbor.max_neighbors, self.cfg.neighbor.cell_capacity,
             gather_chunks=gc if gc else None,
+            stream_window=self.cfg.neighbor.stream_window,
         )
 
     def geometry(self, state: ParticleState, nbrs: NeighborList) -> PairGeom:

@@ -126,6 +126,7 @@ def build_neighbor_list(
     max_neighbors: int,
     cell_capacity: int = 32,
     gather_chunks: Optional[int] = None,
+    stream_window: int = 0,
 ) -> NeighborList:
     """Cell-list neighbor search with static shapes.
 
@@ -267,6 +268,10 @@ def build_neighbor_list(
     plan = None
     if gather_chunks is not None:
         plan = make_gather_plan(idx, gather_chunks)
+        if stream_window:
+            from isph_tpu.ops.spmv_pallas import to_streaming
+
+            plan = to_streaming(plan, n, stream_window)
         overflow = overflow + plan.overflow
     return NeighborList(idx=idx, mask=mask, count=count,
                         overflow=overflow.astype(jnp.int32), plan=plan)

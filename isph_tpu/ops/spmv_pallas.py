@@ -89,6 +89,12 @@ class GatherPlan:
     # (uncovered / overflowed) elements hold 0x7fff so no pass selects them
     enc: jax.Array = None  # (K, N) int16
     mc: tuple = ()  # static per-rank unroll widths (len = ngroups)
+    # HBM-streaming variant (N too large for the VMEM-resident x scratch):
+    # window half-width in lanes (static, multiple of 128).  When set,
+    # ``cstart`` holds EXTENDED coordinates (wrap-unwrapped + window) into
+    # the caller-padded x_ext = [x[n-W:], x, x[:W]] and the kernel streams
+    # a sliding band window of x from HBM per grid step.
+    stream_window: int = 0
 
     @property
     def max_chunks(self) -> int:
@@ -97,8 +103,47 @@ class GatherPlan:
 
 jax.tree_util.register_dataclass(
     GatherPlan, data_fields=["scid", "cstart", "counts", "overflow", "enc"],
-    meta_fields=["mc"],
+    meta_fields=["mc", "stream_window"],
 )
+
+
+def to_streaming(plan: GatherPlan, n: int, window: int,
+                 subcap: int = 32) -> GatherPlan:
+    """Convert a gather plan to the HBM-streaming form.
+
+    The spatially-sorted SPH matrix is BANDED (columns within the kernel
+    cut of their row), so per grid step (``sub`` row tiles) every gathered
+    chunk lies inside a sliding window [base - W, base + sub*128 + W) of
+    the particle axis, with periodic wrap unwrapped into the caller-padded
+    x_ext.  ``window`` W (lanes, multiple of 128) must cover the band:
+    overflow is flagged (fold into neighbor-overflow detection) when any
+    chunk falls outside its step's window.
+    """
+    assert window % CHUNK == 0 and window > 0
+    ntiles = plan.cstart.shape[0]
+    sub = _pick_subtiles(ntiles, subcap)
+    nch = n // CHUNK
+    wch = window // CHUNK
+    trow = jnp.arange(ntiles, dtype=jnp.int32)[:, None, None]
+    cs = plan.cstart.astype(jnp.int32)  # chunk ids
+    # unwrap each chunk id to the image nearest its row tile
+    d = cs - trow
+    d = d - jnp.round(d.astype(jnp.float32) / nch).astype(jnp.int32) * nch
+    u = trow + d  # unwrapped global chunk id, may be < 0 or >= nch
+    # dead slots (scid == -1) -> clamp into the window trivially
+    u = jnp.where(plan.scid >= 0, u, trow)
+    base = (jnp.arange(ntiles, dtype=jnp.int32) // sub * sub)[:, None, None]
+    rel = u - base  # must lie in [-wch, sub + wch - 1]
+    ovf = ((rel < -wch) | (rel > sub + wch - 1)).sum()
+    # WINDOW-RELATIVE chunk ids (same int16 chunk-index convention as the
+    # base plan)
+    cs_rel = jnp.clip(rel + wch, 0, sub + 2 * wch - 1)
+    return dataclasses.replace(
+        plan,
+        cstart=cs_rel.astype(jnp.int16),
+        overflow=plan.overflow + ovf.astype(jnp.int32),
+        stream_window=window,
+    )
 
 _DEAD_ENC = 0x7FFF  # pass 255: never swept (mc <= 16), sentinel for dead slots
 
@@ -141,7 +186,11 @@ def make_gather_plan(idx: jax.Array, max_chunks) -> GatherPlan:
     uniq = jnp.take_along_axis(srt, order, axis=1)
     uniq_valid = jnp.take_along_axis(first, order, axis=1)
     scid = jnp.where(uniq_valid, uniq, -1).astype(jnp.int32)
-    cstart = jnp.where(uniq_valid, uniq * CHUNK, 0).astype(jnp.int32)
+    # cstart stores CHUNK INDICES as int16 (the kernel multiplies by 128):
+    # absolute lane starts as int32 blew the 1 MB SMEM scalar-prefetch
+    # budget at 1M particles (8192 tiles x 4 groups x 8 slots x 4 B); chunk
+    # ids cover n <= 32767*128 = 4.19M particles
+    cstart = jnp.where(uniq_valid, uniq, 0).astype(jnp.int16)
     nuniq2 = nuniq.reshape(ntiles, ngroups)
     mc_arr = jnp.asarray(mc, jnp.int32)[None, :]
     overflow = jnp.maximum(nuniq2 - mc_arr, 0).max().astype(jnp.int32)
@@ -207,7 +256,8 @@ def _group_gather(x8_ref, enc_g, gidx, cstart_ref, ncomp, mc_g, max_chunks):
     pid = enc_g >> 7  # plan-slot id per element: shared by every pass
     for c in range(mc_g):
         sel = pid == c
-        start = pl.multiple_of(cstart_ref[gidx * max_chunks + c], CHUNK)
+        start = pl.multiple_of(
+            cstart_ref[gidx * max_chunks + c].astype(jnp.int32) * CHUNK, CHUNK)
         for comp in range(ncomp):
             xb = x8_ref[comp * GROUP:(comp + 1) * GROUP, pl.ds(start, CHUNK)]
             gv = jnp.take_along_axis(xb, lidx, axis=1)
@@ -346,6 +396,109 @@ def _spmv_call(cstart, diag, vals, enc, x, mc: tuple, subcap: int = 32):
     return y
 
 
+def _spmv_stream_kernel(
+    cstart_ref, diag_ref, vals_ref, enc_ref, xhbm_ref, y_ref,
+    xrow_ref, x8_ref, sem_ref,
+    *, ngroups, ncomp, mc, subtiles, window,
+):
+    """Streaming variant: x_ext stays in HBM; each grid step DMAs the
+    band window [base, base + sub*128 + 2W) of x_ext into VMEM and
+    broadcasts it across sublanes; the pass loop is identical to
+    _spmv_kernel with window-relative chunk starts."""
+    step = pl.program_id(0)
+    WINW = subtiles * CHUNK + 2 * window
+    base = step * (subtiles * CHUNK)
+    cp = pltpu.make_async_copy(
+        xhbm_ref.at[:, pl.ds(base, WINW)], xrow_ref, sem_ref)
+    cp.start()
+    cp.wait()
+    for comp in range(ncomp):
+        x8_ref[comp * GROUP:(comp + 1) * GROUP, :] = jnp.broadcast_to(
+            xrow_ref[comp, :].reshape(1, WINW), (GROUP, WINW)
+        )
+    for w in range(subtiles):
+        t = step * subtiles + w
+        lanes = slice(w * CHUNK, (w + 1) * CHUNK)
+        tot8 = [None] * ncomp
+        for g in range(ngroups):
+            sl = slice(g * GROUP, (g + 1) * GROUP)
+            enc_g = enc_ref[sl, lanes].astype(jnp.int32)
+            vals_g = vals_ref[sl, lanes]
+            gidx = t * ngroups + g
+            lidx = enc_g & (CHUNK - 1)
+            pid = enc_g >> 7
+            accs = [jnp.zeros(enc_g.shape, xrow_ref.dtype) for _ in range(ncomp)]
+            for c in range(mc[g]):
+                sel = pid == c
+                # cstart holds window-RELATIVE chunk ids (int16)
+                start = pl.multiple_of(
+                    cstart_ref[gidx * max(mc) + c].astype(jnp.int32) * CHUNK,
+                    CHUNK)
+                for comp in range(ncomp):
+                    xb = x8_ref[comp * GROUP:(comp + 1) * GROUP,
+                                pl.ds(start, CHUNK)]
+                    gv = jnp.take_along_axis(xb, lidx, axis=1)
+                    accs[comp] = jnp.where(sel, gv, accs[comp])
+            for comp in range(ncomp):
+                p = vals_g * accs[comp]
+                tot8[comp] = p if tot8[comp] is None else tot8[comp] + p
+        # own x values: window-relative = window + w*128
+        own = pl.multiple_of(window + w * CHUNK, CHUNK)
+        d = diag_ref[0, lanes]
+        for comp in range(ncomp):
+            y_ref[comp, lanes] = (
+                d * xrow_ref[comp, pl.ds(own, CHUNK)] + tot8[comp].sum(axis=0)
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("mc", "window", "subcap"))
+def _spmv_stream_call(cstart, diag, vals, enc, x, mc: tuple, window: int,
+                      subcap: int = 32):
+    """x: (C, n) UNPADDED; the wrap margins are concatenated here (an O(W)
+    copy per matvec, ~2 extra chunks of HBM traffic vs the K*n*6 B vals
+    stream)."""
+    K, n = vals.shape
+    ncomp = x.shape[0]
+    ntiles = n // CHUNK
+    ngroups = K // GROUP
+    sub = _pick_subtiles(ntiles, subcap)
+    W = sub * CHUNK
+    WINW = W + 2 * window
+    x_ext = jnp.concatenate([x[:, n - window:], x, x[:, :window]], axis=1)
+    y = pl.pallas_call(
+        functools.partial(
+            _spmv_stream_kernel, ngroups=ngroups, ncomp=ncomp, mc=mc,
+            subtiles=sub, window=window,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ntiles // sub,),
+            in_specs=[
+                pl.BlockSpec((1, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # x_ext stays in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (ncomp, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((ncomp, WINW), x.dtype),
+                pltpu.VMEM((ncomp * GROUP, WINW), x.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ncomp, n), x.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vals.size * ncomp,
+            bytes_accessed=vals.size * 4 + enc.size * 2 + n * ncomp * 8,
+            transcendentals=0,
+        ),
+    )(cstart.reshape(-1), diag.reshape(1, n), vals, enc, x_ext)
+    return y
+
+
 def spmv(plan: GatherPlan, diag, vals_masked, x):
     """y = diag * x + sum_k vals_masked[k] * x[idx[k]] via the pallas kernel
     (idx is carried by the plan's pass encoding — the plan must have been
@@ -359,6 +512,14 @@ def spmv(plan: GatherPlan, diag, vals_masked, x):
     at C=2; an earlier components-on-sublanes layout was 4x slower, which
     is what the per-component dispatch replaced).
     """
+    if plan.stream_window:
+        if x.ndim == 2:
+            return _spmv_stream_call(plan.cstart, diag, vals_masked, plan.enc,
+                                     x, plan.mc, plan.stream_window)
+        return _spmv_stream_call(
+            plan.cstart, diag, vals_masked, plan.enc, x.reshape(1, -1),
+            plan.mc, plan.stream_window,
+        ).reshape(-1)
     if x.ndim == 2:
         if x.shape[0] * GROUP * x.shape[1] * 4 > _SCRATCH_BUDGET:
             return jnp.stack([
@@ -409,12 +570,95 @@ def _take_call(cstart, enc, x, mc: tuple):
 _SCRATCH_BUDGET = 9_000_000  # bytes
 
 
+def _take_stream_kernel(
+    cstart_ref, enc_ref, xhbm_ref, out_ref, xrow_ref, x8_ref, sem_ref,
+    *, ngroups, ncomp, mc, subtiles, window,
+):
+    step = pl.program_id(0)
+    WINW = subtiles * CHUNK + 2 * window
+    base = step * (subtiles * CHUNK)
+    cp = pltpu.make_async_copy(
+        xhbm_ref.at[:, pl.ds(base, WINW)], xrow_ref, sem_ref)
+    cp.start()
+    cp.wait()
+    for comp in range(ncomp):
+        x8_ref[comp * GROUP:(comp + 1) * GROUP, :] = jnp.broadcast_to(
+            xrow_ref[comp, :].reshape(1, WINW), (GROUP, WINW)
+        )
+    for w in range(subtiles):
+        t = step * subtiles + w
+        lanes = slice(w * CHUNK, (w + 1) * CHUNK)
+        for g in range(ngroups):
+            sl = slice(g * GROUP, (g + 1) * GROUP)
+            enc_g = enc_ref[sl, lanes].astype(jnp.int32)
+            gidx = t * ngroups + g
+            lidx = enc_g & (CHUNK - 1)
+            pid = enc_g >> 7
+            accs = [jnp.zeros(enc_g.shape, xrow_ref.dtype)
+                    for _ in range(ncomp)]
+            for c in range(mc[g]):
+                sel = pid == c
+                start = pl.multiple_of(
+                    cstart_ref[gidx * max(mc) + c].astype(jnp.int32) * CHUNK,
+                    CHUNK)
+                for comp in range(ncomp):
+                    xb = x8_ref[comp * GROUP:(comp + 1) * GROUP,
+                                pl.ds(start, CHUNK)]
+                    gv = jnp.take_along_axis(xb, lidx, axis=1)
+                    accs[comp] = jnp.where(sel, gv, accs[comp])
+            for comp in range(ncomp):
+                out_ref[comp, sl, lanes] = accs[comp]
+
+
+@functools.partial(jax.jit, static_argnames=("mc", "window", "subcap"))
+def _take_stream_call(cstart, enc, x, mc: tuple, window: int, subcap: int = 32):
+    K, n = enc.shape
+    ncomp = x.shape[0]
+    ntiles = n // CHUNK
+    ngroups = K // GROUP
+    sub = _pick_subtiles(ntiles, subcap)
+    W = sub * CHUNK
+    WINW = W + 2 * window
+    x_ext = jnp.concatenate([x[:, n - window:], x, x[:, :window]], axis=1)
+    return pl.pallas_call(
+        functools.partial(
+            _take_stream_kernel, ngroups=ngroups, ncomp=ncomp, mc=mc,
+            subtiles=sub, window=window,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ntiles // sub,),
+            in_specs=[
+                pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (ncomp, K, W), lambda t, *_: (0, 0, t), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((ncomp, WINW), x.dtype),
+                pltpu.VMEM((ncomp * GROUP, WINW), x.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ncomp, K, n), x.dtype),
+        interpret=_interpret(),
+    )(cstart.reshape(-1), enc, x_ext)
+
+
 def take(plan: GatherPlan, x):
     """x[idx] for (K, N) neighbor gathers of an (N,) field (the PairGeom
     gather) via the windowed kernel, idx carried by the plan's pass
     encoding; (C, N) fields gather in one fused call (see spmv) while the
     broadcast scratch fits VMEM — beyond (C * 8 * N * 4 B > ~9 MB, i.e.
-    N > 256k at C=1) components run separately."""
+    N > 256k at C=1) components run separately; streaming plans route to
+    the band-window kernel at any N."""
+    if plan.stream_window:
+        if x.ndim == 2:
+            return _take_stream_call(plan.cstart, plan.enc, x, plan.mc,
+                                     plan.stream_window)
+        return _take_stream_call(plan.cstart, plan.enc, x.reshape(1, -1),
+                                 plan.mc, plan.stream_window)[0]
     if x.ndim == 2:
         if x.shape[0] * GROUP * x.shape[1] * 4 > _SCRATCH_BUDGET:
             return jnp.stack(
