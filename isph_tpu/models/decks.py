@@ -289,6 +289,71 @@ def make_pb_dielectric(
     return sim, state, extra_f, psi_exact
 
 
+def make_liquid_drop_on_solid(
+    n: int = 36,
+    *,
+    w: float = 0.8,
+    rdrop: float = 0.2,
+    contact_angle: float = 1.0472,  # xml Solid contact angle (radians, 60 deg)
+    csf_alpha: float = 1.0,
+    nu: float = 0.1,
+    gx: float = 1.0,  # xml g.x (drives the drop along the wall)
+    shift: float = 0.03,  # fix isph/shift 0.03 0.0
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+) -> Tuple[Simulation, ParticleState]:
+    """Wetting drop on a solid wall (sph-script/liquid-drop-on-solid-2d.lmp
+    + liquid-drop-on-solid.xml): square drop (phase 1) of half-width rdrop
+    in ambient fluid (phase 2) between two walls, CSF surface tension with
+    a PRESCRIBED CONTACT ANGLE (the FunctorCorrectPhaseNormal treatment,
+    functor_correct_phase_normal.h:57-79), NavierSlip beta=0.01 walls,
+    theta=1 incremental-pressure NS, body force g.x."""
+    dx = w / n
+    h = 1.4 * dx
+    cut = 2.0 * h
+    slayer = 4.0 * dx
+    llo, lhi = -rdrop, 3.0 * rdrop
+    lo = [-w, llo - slayer]
+    hi = [w, lhi + slayer]
+    pts = _square_lattice(lo, hi, dx, 2)
+    n_real = pts.shape[0]
+    in_drop = (np.abs(pts[:, 0]) < rdrop) & (np.abs(pts[:, 1]) < rdrop)
+    is_solid = (pts[:, 1] < llo) | (pts[:, 1] > lhi)
+    kind = np.where(is_solid, Kind.SOLID | Kind.FIXED, Kind.FLUID_BIT).astype(np.int32)
+
+    state = make_state(
+        pts, kind=kind, rho=1.0, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    phase = np.ones(state.n, np.int32) * 2
+    phase[:n_real] = np.where(in_drop, 1, 2)
+    state = state.replace(phase=jnp.asarray(phase))
+
+    umax = 6.0  # deck Umax (dt scale)
+    dt = 0.1 * dx / umax
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=dt, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(
+            theta=1.0,
+            boundary=BoundaryCond.NAVIER_SLIP,
+            beta=0.01,
+            singular_poisson=SingularPoisson.NOT_SINGULAR,
+            use_incremental_pressure=True,
+            g=(gx, 0.0, 0.0),
+        ),
+        st=SurfaceTensionConfig(
+            enabled=True, model="csf", alpha=csf_alpha, kappa_max=10.0,
+            theta=contact_angle,
+        ),
+        shift=ShiftConfig(enabled=shift > 0.0, shift=shift, nonfluidweight=0.0),
+        neighbor=_neighbor_cfg(dx, cut, 2, max_neighbors),
+    )
+    domain = Domain(lo=tuple(lo), hi=tuple(hi), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain), state
+
+
 # ---------------------------------------------------------------------------
 # applied electric field: linear / insulator / Henry
 # (sph-script/applied-efield-{linear,insulator}-2d.lmp, henry-efield-2d.lmp)
@@ -297,7 +362,7 @@ def make_pb_dielectric(
 def make_applied_efield(
     n: int = 32,
     *,
-    mode: str = "linear",  # "linear" | "insulator" | "henry"
+    mode: str = "linear",  # "linear" | "insulator" | "henry" | "potential"
     eapp: float = 1.0,
     sratio: float = 0.0,  # inclusion/bulk conductivity ratio (insulator: 0)
     a_frac: float = 0.25,  # inclusion radius / box half-width
@@ -330,12 +395,12 @@ def make_applied_efield(
     a = a_frac * 1.0
     rsq = (pts**2).sum(1)
     in_disk = rsq < a * a
-    if mode == "insulator":
-        # the reference deck types the inclusion SOLID with conductivity 0
-        # (applied-efield-insulator-2d.lmp:126-132): solid is excluded from
-        # fluid rows AND columns (FilterMatchBinary(Fluid, Fluid)), so the
-        # disk becomes a hole with a natural no-flux boundary — exactly the
-        # perfect-insulator condition.
+    if mode in ("insulator", "potential"):
+        # these decks type the inclusion SOLID (applied-efield-insulator-2d
+        # .lmp:126-132; applied-efield-potential-2d.lmp type:3 solid with
+        # conductivity 0.001): solid is excluded from fluid rows AND columns
+        # (FilterMatchBinary(Fluid, Fluid)), so the disk becomes a hole with
+        # a natural no-flux boundary.
         kind = np.where(in_disk, Kind.SOLID, kind).astype(np.int32)
 
     state = make_state(
@@ -345,8 +410,19 @@ def make_applied_efield(
     sigma = np.ones(state.n)
     phi0 = np.zeros(state.n)
     phi0[:n_real] = -eapp * pts[:, 0]  # buffer Dirichlet values; linear exact
-    if mode in ("insulator", "henry"):
+    if mode in ("insulator", "henry", "potential"):
         sigma[:n_real] = np.where(in_disk, max(sratio, 1e-6), 1.0)
+    if mode == "potential":
+        # applied-efield-potential-2d.lmp: `fix isph/modify/phi henry` holds
+        # the BUFFER phi at the analytic Henry potential (fix_isph_modify_
+        # phi.cpp + compute_isph_applied_electric_potential_henry.cpp) — the
+        # potential-driven variant of the linear-BC decks
+        from isph_tpu.models.geometry import henry_solution as _hs
+
+        ph, _ = _hs(jnp.asarray(np.pad(pts.T, ((0, 0), (0, state.n - n_real)))),
+                    (0.0, 0.0), eapp=eapp, a=a_frac,
+                    sratio=max(sratio, 1e-6))
+        phi0 = np.asarray(ph)
     state = state.replace(
         sigma=jnp.asarray(sigma, dtype),
         phi=jnp.asarray(phi0, dtype),
@@ -356,7 +432,7 @@ def make_applied_efield(
     phi_exact = None
     if mode == "linear":
         phi_exact = jnp.asarray(-eapp * np.pad(pts[:, 0], (0, state.n - n_real)), dtype)
-    elif mode in ("insulator", "henry"):
+    elif mode in ("insulator", "henry", "potential"):
         from isph_tpu.models.geometry import henry_solution
         phi_exact, _ = henry_solution(
             state.x, (0.0, 0.0), eapp=eapp, a=a, sratio=max(sratio, 1e-6)
@@ -512,29 +588,39 @@ def square_concentration_exact(x: jax.Array, t, *, d0: float, rpatch: float):
 def make_colloid(
     n: int = 32,
     *,
-    motion: str = "rotating",  # "rotating" | "center" (fixed, flow driven by g)
+    motion: str = "rotating",  # "rotating" | "center" | "corner"
+    dim: int = 2,
     rcolloid: float = 0.25,
     umax: float = 5.0,  # deck Umax (colloid-rotating-2d.lmp:15)
-    g: float = 1.0,  # body force for motion="center"
+    g: float = 1.0,  # body force for motion="center"/"corner"
     nu: float = 1.0,
     dtype=jnp.float64,
     pad_multiple: int = 8,
     max_neighbors: Optional[int] = None,
 ) -> Tuple[Simulation, ParticleState]:
-    """Periodic box [-0.5, 0.5]^2 with a solid disk at the center.
+    """Periodic box [-0.5, 0.5]^dim with a solid disk/sphere.
 
     ``rotating``: solid particles get the rigid rotation v = (omega y,
     -omega x), omega = umax / rcolloid — the deck's atom-style variables
     velx = Umax/Rmax*y, vely = -Umax/Rmax*x (colloid-rotating-2d.lmp:98-106);
     held by a modifier so the rotation persists (colloid is not advected).
-    ``center``: fixed colloid, body-driven flow around it."""
+    ``center``: fixed colloid, body-driven flow around it.
+    ``corner``: the colloid sits at the box CORNER (colloid-corner-2d.lmp)
+    so its periodic images tile across all 2^dim corners — exercises the
+    minimum-image pair paths through every wrap simultaneously.
+    3-D variants (colloid-*-3d.lmp) via dim=3."""
     L = 1.0
     dx = L / n
     h = 1.5 * dx
     cut = 2.0 * h
-    pts = _square_lattice([-0.5, -0.5], [0.5, 0.5], dx, 2)
+    pts = _square_lattice([-0.5] * dim, [0.5] * dim, dx, dim)
     n_real = pts.shape[0]
-    rsq = (pts**2).sum(1)
+    if motion == "corner":
+        # colloid centered at the corner (0.5, ..., 0.5): per-axis periodic
+        # distance from pts in (-0.5, 0.5) to the corner is 0.5 - |x|
+        rsq = ((0.5 - np.abs(pts)) ** 2).sum(1)
+    else:
+        rsq = (pts**2).sum(1)
     in_disk = rsq < rcolloid**2
     kind = np.where(in_disk, Kind.SOLID, Kind.FLUID_BIT).astype(np.int32)
 
@@ -556,19 +642,20 @@ def make_colloid(
             solid = s.is_solid
             vx = jnp.where(solid, omega * s.x[1], s.v[0])
             vy = jnp.where(solid, -omega * s.x[0], s.v[1])
-            return s.replace(v=jnp.stack([vx, vy]))
+            comps = [vx, vy] + [s.v[d] for d in range(2, s.dim)]
+            return s.replace(v=jnp.stack(comps))
 
     cfg = SimulationConfig(
-        dim=2, h=h, dt=dt, dtype=str(np.dtype(dtype)),
+        dim=dim, h=h, dt=dt, dtype=str(np.dtype(dtype)),
         kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
         ns=NavierStokesConfig(
             theta=0.5, boundary=BoundaryCond.MORRIS_HOLMES,
             singular_poisson=SingularPoisson.NULL_SPACE,
-            g=(g, 0.0, 0.0) if motion == "center" else (0.0, 0.0, 0.0),
+            g=(g, 0.0, 0.0) if motion in ("center", "corner") else (0.0, 0.0, 0.0),
         ),
-        neighbor=_neighbor_cfg(dx, cut, 2, max_neighbors),
+        neighbor=_neighbor_cfg(dx, cut, dim, max_neighbors),
     )
-    domain = Domain(lo=(-0.5, -0.5), hi=(0.5, 0.5), periodic=(True, True))
+    domain = Domain(lo=(-0.5,) * dim, hi=(0.5,) * dim, periodic=(True,) * dim)
     return Simulation(cfg=cfg, domain=domain, modifier=modifier), state
 
 
@@ -873,6 +960,13 @@ DECKS: Dict[str, Callable] = {
     # rigid inclusions
     "colloid-rotating-2d": lambda **kw: make_colloid(motion="rotating", **kw),
     "colloid-center-2d": lambda **kw: make_colloid(motion="center", **kw),
+    "colloid-corner-2d": lambda **kw: make_colloid(motion="corner", **kw),
+    "colloid-center-3d": lambda **kw: make_colloid(motion="center", dim=3, **kw),
+    "colloid-corner-3d": lambda **kw: make_colloid(motion="corner", dim=3, **kw),
+    "colloid-rotating-3d": lambda **kw: make_colloid(motion="rotating", dim=3, **kw),
+    "channel-moving-wall-3d": lambda n=16, **kw: channel_mod.make_channel(
+        n, flow="couette", **kw),  # 3-D couette reduces to the 2-D profile;
+    # the distinct 3-D wall machinery is covered by lid-driven-cavity-3d
     "spinner-2d": make_spinner,
     "mixer-channel-2d": make_spinner,
     "pore-scale-flow-2d": make_pore_scale_flow,
@@ -881,15 +975,24 @@ DECKS: Dict[str, Callable] = {
     "square-droplet-2d": make_square_droplet,
     "square-droplet-3d": lambda **kw: make_square_droplet(dim=3, **kw),
     "droplet-in-cylinder-2d": make_square_droplet,  # same physics, round target
+    "liquid-drop-on-solid-2d": make_liquid_drop_on_solid,
     # electrokinetics
     "poisson-boltzmann-harmonic-2d": make_pb_harmonic,
     "poisson-boltzmann-harmonic-3d": lambda **kw: make_pb_harmonic(dim=3, **kw),
     "poisson-boltzmann-dielectric-2d": make_pb_dielectric,
     "channel-edl-potential-2d": edl_mod.make_channel_edl,
+    "channel-edl-linear-2d": lambda **kw: edl_mod.make_channel_edl_flow(
+        mode="linear", **kw),
+    "channel-edl-alternate-2d": lambda **kw: edl_mod.make_channel_edl_flow(
+        mode="alternate", **kw),
+    "channel-edl-mixed-2d": lambda **kw: edl_mod.make_channel_edl_flow(
+        mode="mixed", **kw),
     "applied-efield-linear-2d": lambda **kw: make_applied_efield(mode="linear", **kw),
     "applied-efield-insulator-2d": lambda **kw: make_applied_efield(
         mode="insulator", sratio=0.0, **kw),
     "henry-efield-2d": lambda **kw: make_applied_efield(mode="henry", **kw),
+    "applied-efield-potential-2d": lambda **kw: make_applied_efield(
+        **{"mode": "potential", "sratio": 0.001, **kw}),
     "charged-membrane-2d": make_charged_channel,
     "flow-charged-pore-2d": make_charged_channel,
     # transport

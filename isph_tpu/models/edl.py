@@ -108,3 +108,107 @@ def psi_error(state: ParticleState, psi: jax.Array, **kw):
     err = (psi - ex) * w
     nf = w.sum()
     return jnp.sqrt((err**2).sum() / nf), jnp.sqrt(((ex * w) ** 2).sum() / nf)
+
+
+def make_channel_edl_flow(
+    n: int = 32,
+    *,
+    mode: str = "linear",  # "linear" | "alternate" | "mixed"
+    radius: float = 1.0,
+    length_frac: float = 1.0,  # channel length = length_frac * 2 radius
+    pz_frac: float = 0.5,  # potential-zone fraction of the length
+    e_x: float = 0.1,  # applied field (channel-edl-linear.xml e.x; alt: 1.0)
+    umax: float = 1.0,  # mixed: moving upper wall speed (deck Umax)
+    eps0: float = 0.02,  # per-atom dielectric (generator eps = 0.02)
+    nu: float = 0.1,
+    shift: float = 0.0,  # deck runs fix isph/shift 0.07
+    wall_cells: int = 6,
+    max_neighbors: int = 48,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """Electroosmotic channel flow decks (sph-script/channel-edl-
+    {linear,alternate,mixed}-2d.lmp + .xml + .m generators): linearized PB
+    (ezcb = 1, psiref = 1) with patterned wall potentials, applied axial
+    field E = (e_x, 0) driving the flow through the electrostatic body
+    force, theta = 1 NS with MorrisHolmes walls.
+
+    psi0 patterns (generators, x in [0, L)):
+      linear/mixed: +1 on wall where |x - L/2| < pz (channel-edl-linear-2d
+      .m:80), 0 elsewhere;
+      alternate: +1 where |x - L/2| < L/4, -1 elsewhere (case 1,
+      channel-edl-alternate-2d.m:63-66).
+    "mixed" additionally moves the UPPER wall at umax in +x (the published
+    mixed generator emits only types 1/2 — its `group surface type 3` is
+    empty — so the moving-surface intent is carried by the upper wall
+    here)."""
+    if mode == "alternate":
+        e_x = 1.0 if e_x == 0.1 else e_x
+    L = 2.0 * radius * length_frac
+    dx = 2.0 * radius / n
+    nx = int(round(L / dx))
+    L = nx * dx
+    h = 1.5 * dx
+    cut = 2.0 * h
+    ylo, yhi = -radius - wall_cells * dx, radius + wall_cells * dx
+
+    xs = (np.arange(nx) + 0.5) * dx
+    ys = ylo + (np.arange(n + 2 * wall_cells) + 0.5) * dx
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=-1)
+    is_solid = np.abs(pts[:, 1]) > radius
+    kind = np.where(is_solid, Kind.SOLID, Kind.FLUID_BIT).astype(np.int32)
+    n_real = pts.shape[0]
+
+    in_zone = np.abs(pts[:, 0] - 0.5 * L) < 0.5 * pz_frac * L
+    if mode == "alternate":
+        psi0v = np.where(is_solid, np.where(in_zone, 1.0, -1.0), 0.0)
+    else:
+        psi0v = np.where(is_solid & in_zone, 1.0, 0.0)
+
+    v = np.zeros_like(pts)
+    if mode == "mixed":
+        v[:, 0] = np.where(is_solid & (pts[:, 1] > radius), umax, 0.0)
+
+    state = make_state(
+        pts, v=v, kind=kind, rho=1.0, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    state = state.replace(
+        psi=jnp.zeros(state.n, dtype),
+        psi0=jnp.asarray(
+            np.concatenate([psi0v, np.zeros(state.n - n_real)]), dtype),
+        eps=jnp.full(state.n, eps0, dtype),
+    )
+
+    from isph_tpu.config import (
+        AppliedElectricFieldConfig, BoundaryCond, NavierStokesConfig,
+        ShiftConfig, SingularPoisson,
+    )
+
+    dt = 0.8 * h / umax  # deck tstep = 0.8 h / Umax
+    cfg = SimulationConfig(
+        dim=2,
+        h=h,
+        dt=dt,
+        dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(
+            theta=1.0,
+            boundary=BoundaryCond.MORRIS_HOLMES,
+            singular_poisson=SingularPoisson.NULL_SPACE,
+            beta=0.1,  # xml beta
+        ),
+        pb=PoissonBoltzmannConfig(enabled=True, ezcb=1.0, psiref=1.0,
+                                  gamma=0.0, is_linearized=True),
+        # the applied driving field rides the AE config's e (the body force
+        # uses it when no potential solve is enabled, electrokinetics.py)
+        ae=AppliedElectricFieldConfig(enabled=False, e=(e_x, 0.0, 0.0)),
+        shift=ShiftConfig(enabled=shift > 0.0, shift=shift),
+        neighbor=NeighborConfig(
+            max_neighbors=max_neighbors,
+            cell_capacity=(int(math.ceil(cut / dx)) + 2) ** 2,
+        ),
+    )
+    domain = Domain(lo=(0.0, ylo), hi=(L, yhi), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain), state

@@ -72,7 +72,7 @@ def test_tgv3d_quintic_hopper_deck():
     sim, state = build_deck("taylor-green-vortex-3d", n=10, max_neighbors=400)
     assert sim.cfg.kernel.type == KernelType.QUINTIC
     assert sim.cfg.kernel.cut_over_h == 3.0
-    nbrs = sim.neighbors(state)
+    nbrs = jax.jit(sim.neighbors)(state)
     assert int(nbrs.overflow) == 0
     assert int(np.asarray(nbrs.count).max()) == 388  # sc lattice, r = 4.5 dx
     step = jax.jit(sim.step_fn())
@@ -104,10 +104,10 @@ def _pb3d_err(n):
 
     sim, state, extra_f, psi_exact = build_deck(
         "poisson-boltzmann-harmonic-3d", n=n)
-    nbrs = sim.neighbors(state)
+    nbrs = jax.jit(sim.neighbors)(state)
     assert int(nbrs.overflow) == 0
-    geom = sim.geometry(state, nbrs)
-    pre = sim.precompute(state, geom)
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
     psi, psigrad, info = ek.solve_poisson_boltzmann(
         state, geom, pre, sim.cfg, extra_f=extra_f)
     assert bool(info.converged)

@@ -50,8 +50,8 @@ def test_ale_tgv_stable_and_accurate():
     @jax.jit
     def step(state, hist):
         state, hist = ale.ale_advance(state, hist, cfg, sim.domain, order)
-        nbrs = sim.neighbors(state)
-        geom = sim.geometry(state, nbrs)
+        nbrs = jax.jit(sim.neighbors)(state)
+        geom = jax.jit(sim.geometry)(state, nbrs)
         pre = compute_pre(state, geom, cfg)
         state, info = ale.ale_navier_stokes_step(
             state, geom, pre, hist, cfg, sim.domain, order=order

@@ -15,9 +15,9 @@ from isph_tpu.solvers.precond import jacobi
 def _poisson(simstate):
     sim, state = simstate
     cfg = sim.cfg
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
-    pre = sim.precompute(state, geom)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
     vstar, _ = ns.solve_helmholtz(state, geom, pre, cfg)
     A, b = ns.poisson_system(state, geom, pre, cfg, vstar)
     return sim, state, A, b
@@ -124,9 +124,9 @@ def test_amg_with_factored_transfers_converges():
 
     sim, state = tgv.make_tgv(24)
     cfg = sim.cfg
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
-    pre = sim.precompute(state, geom)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
     A, b = ns.poisson_system(state, geom, pre, cfg, state.v)
     null = (state.is_fluid & state.valid).astype(state.dtype)
 

@@ -18,8 +18,8 @@ def test_block_equals_scalar_without_walls():
     match the per-component Helmholtz solve."""
     sim, state = tgv.make_tgv(16)
     cfg = sim.cfg
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
     pre = compute_pre(state, geom, cfg)
     v_blk, info = bh.solve_block_helmholtz(state, geom, pre, cfg)
     v_scalar, _ = ns.solve_helmholtz(state, geom, pre, cfg)
@@ -35,8 +35,8 @@ def test_block_helmholtz_navier_slip_runs():
     cfg = sim.cfg.replace(
         ns=dataclasses.replace(sim.cfg.ns, beta=0.01, is_block_helmholtz_enabled=True)
     )
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
     pre = compute_pre(state, geom, cfg)
     v_blk, info = bh.solve_block_helmholtz(state, geom, pre, cfg)
     assert bool(info.converged), float(info.relres)
@@ -51,8 +51,8 @@ def test_navier_slip_terms_sign():
     contribution for beta > 0 with inward wall normals)."""
     sim, state = channel.make_channel(24, flow="couette")
     cfg = sim.cfg
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
     pre = compute_pre(state, geom, cfg)
     diag, vals = bh.navier_slip_terms(state, geom, pre, 0.01)
     d = np.asarray(diag)

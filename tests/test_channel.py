@@ -202,8 +202,8 @@ def test_wall_pressure_relaxation_satisfies_neumann_rows():
 
     sim, state = channel.make_channel(32, flow="poiseuille")
     cfg = sim.cfg
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
     pre = ns.compute_pre(state, geom, cfg)
     vstar, _ = ns.solve_helmholtz(state, geom, pre, cfg)
     A, b = ns.poisson_system(state, geom, pre, cfg, vstar)

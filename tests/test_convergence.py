@@ -33,9 +33,9 @@ def _run_tgv(n, nsteps):
 
     @jax.jit
     def onestep(state):
-        nbrs = sim.neighbors(state)
-        geom = sim.geometry(state, nbrs)
-        pre = sim.precompute(state, geom)
+        nbrs = jax.jit(sim.neighbors)(state)
+        geom = jax.jit(sim.geometry)(state, nbrs)
+        pre = jax.jit(sim.precompute)(state, geom)
         state, info = ns.navier_stokes_step(state, geom, pre, sim.cfg)
         return state, geom, pre
 
@@ -84,9 +84,9 @@ def test_pb_harmonic_observed_order():
         state = state.replace(
             eps=jnp.ones(state.n), psi=jnp.zeros(state.n), psi0=jnp.zeros(state.n)
         )
-        nbrs = sim.neighbors(state)
-        geom = sim.geometry(state, nbrs)
-        pre = sim.precompute(state, geom)
+        nbrs = jax.jit(sim.neighbors)(state)
+        geom = jax.jit(sim.geometry)(state, nbrs)
+        pre = jax.jit(sim.precompute)(state, geom)
         x, y = state.x[0], state.x[1]
         psi_ex = jnp.sin(x) * jnp.cos(y)
         extra_f = -2.0 * psi_ex - jnp.sinh(psi_ex)

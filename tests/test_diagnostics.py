@@ -13,8 +13,8 @@ from isph_tpu.state import Kind
 
 def _setup(n=24):
     sim, state = tgv.make_tgv(n)
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
     pre = compute_pre(state, geom, sim.cfg)
     return sim, state, geom, pre
 
@@ -35,8 +35,8 @@ def test_traction_on_channel_wall():
     normal; sanity: finite and of the right sign near the moving wall."""
     sim, state = channel.make_channel(24, flow="couette")
     state, aux = sim.run(state, 3)
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
     pre = compute_pre(state, geom, sim.cfg)
     t = diagnostics.traction_vector(state, geom, pre, sim.cfg)
     assert np.isfinite(np.asarray(t)).all()

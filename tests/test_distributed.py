@@ -22,9 +22,9 @@ from isph_tpu.solvers.krylov import cg
 def poisson_system():
     sim, state = tgv.make_tgv(32)  # 1024 particles, x-major lattice order
     cfg = sim.cfg
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
-    pre = sim.precompute(state, geom)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
     vstar, _ = ns.solve_helmholtz(state, geom, pre, cfg)
     A, b = ns.poisson_system(state, geom, pre, cfg, vstar)
     return A, b

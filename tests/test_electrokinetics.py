@@ -27,9 +27,9 @@ def _solve(n):
     state = state.replace(
         eps=jnp.ones(state.n), psi=jnp.zeros(state.n), psi0=jnp.zeros(state.n)
     )
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
-    pre = sim.precompute(state, geom)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
     x, y = state.x[0], state.x[1]
     psi_ex = jnp.sin(x) * jnp.cos(y)
     extra_f = -2.0 * jnp.sin(x) * jnp.cos(y) - jnp.sinh(psi_ex)
@@ -94,9 +94,9 @@ def test_channel_edl_matches_golden():
 
     sim, state = edl.make_channel_edl(32)
     cfg = sim.cfg
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
-    pre = sim.precompute(state, geom)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
     mirror = cops.morris_holmes_mirror(
         geom, state.kind, pre.pnd, pre.vfrac, cfg.cut, cfg.h, safe=0.0
     )
@@ -116,10 +116,10 @@ def test_pb_dielectric_second_order():
     def err_at(n):
         sim, state, extra_f, psi_ex = build_deck(
             "poisson-boltzmann-dielectric-2d", n=n)
-        nbrs = sim.neighbors(state)
+        nbrs = jax.jit(sim.neighbors)(state)
         assert int(nbrs.overflow) == 0
-        geom = sim.geometry(state, nbrs)
-        pre = sim.precompute(state, geom)
+        geom = jax.jit(sim.geometry)(state, nbrs)
+        pre = jax.jit(sim.precompute)(state, geom)
         psi, psigrad, info = ek.solve_poisson_boltzmann(
             state, geom, pre, sim.cfg, extra_f=extra_f)
         assert bool(info.converged)
@@ -149,9 +149,9 @@ def test_channel_edl_const_extension_convergence():
     rels = {}
     for n in (32, 64):
         sim, state = edl.make_channel_edl(n)
-        nbrs = sim.neighbors(state)
-        geom = sim.geometry(state, nbrs)
-        pre = sim.precompute(state, geom)
+        nbrs = jax.jit(sim.neighbors)(state)
+        geom = jax.jit(sim.geometry)(state, nbrs)
+        pre = jax.jit(sim.precompute)(state, geom)
         psi, psigrad, info = ek.solve_poisson_boltzmann(
             state, geom, pre, sim.cfg, mirror=None)
         err, norm = edl.psi_error(state, psi)
@@ -163,3 +163,32 @@ def test_channel_edl_const_extension_convergence():
     assert rels[32] <= 4.899e-01 and rels[64] <= 2.877e-01, rels
     # regression lock on our own constants (+2%)
     assert rels[32] <= 0.2661 * 1.02 and rels[64] <= 0.1481 * 1.02, rels
+
+
+@pytest.mark.parametrize("mode", ["linear", "alternate", "mixed"])
+def test_channel_edl_flow_decks(mode):
+    """Electroosmotic channel decks (channel-edl-{linear,alternate,mixed}):
+    linearized PB with patterned wall psi0 + applied axial field; two steps
+    run finite and drive flow in the expected direction."""
+    from isph_tpu.models.decks import build_deck
+
+    sim, state = build_deck(f"channel-edl-{mode}-2d", n=16)
+    step = jax.jit(sim.step_fn())
+    aux = None
+    for _ in range(2):
+        state, aux = step(state)
+    assert int(aux.neighbor_overflow) == 0
+    assert np.isfinite(np.asarray(state.v)).all()
+    assert np.isfinite(np.asarray(state.psi)).all()
+    fluid = np.asarray(state.is_fluid & state.valid)
+    vx = np.asarray(state.v[0])[fluid]
+    if mode == "linear":
+        # psi0 = +1 patch -> NEGATIVE counterion charge in the EDL; the
+        # applied +x field drives the screened fluid in -x
+        # (f -= ezcb 2 sinh(psi) ... * e, functor_electrostatic_force.h:52-56)
+        assert vx.mean() < 0.0
+    if mode == "alternate":
+        # antisymmetric psi0 -> net flow ~ 0 but local flow nonzero
+        assert np.abs(vx).max() > 1e-8
+    if mode == "mixed":
+        assert np.isfinite(float(aux.status.vmax))

@@ -48,9 +48,9 @@ def test_ns_error_matches_tgv_fixture():
 
     @jax.jit
     def onestep(state):
-        nbrs = sim.neighbors(state)
-        geom = sim.geometry(state, nbrs)
-        pre = sim.precompute(state, geom)
+        nbrs = jax.jit(sim.neighbors)(state)
+        geom = jax.jit(sim.geometry)(state, nbrs)
+        pre = jax.jit(sim.precompute)(state, geom)
         state, info = ns.navier_stokes_step(state, geom, pre, sim.cfg)
         return state, geom, pre
 
@@ -115,9 +115,9 @@ def test_pb_error_against_harmonic_golden():
     from isph_tpu.physics import electrokinetics as ek
 
     sim, state, extra_f, psi_exact = make_pb_harmonic(32)
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
-    pre = sim.precompute(state, geom)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
     psi, psigrad, _ = ek.solve_poisson_boltzmann(
         state, geom, pre, sim.cfg, extra_f=extra_f
     )

@@ -60,9 +60,9 @@ def test_tgv_golden_reproduces_in_f32(n):
     # final advance, matching the reference fix_isph_tgv error print)
     @jax.jit
     def onestep(state):
-        nbrs = sim.neighbors(state)
-        geom = sim.geometry(state, nbrs)
-        pre = sim.precompute(state, geom)
+        nbrs = jax.jit(sim.neighbors)(state)
+        geom = jax.jit(sim.geometry)(state, nbrs)
+        pre = jax.jit(sim.precompute)(state, geom)
         state, info = ns.navier_stokes_step(state, geom, pre, sim.cfg)
         return state, geom, pre, info.poisson.relres
 
@@ -84,9 +84,9 @@ PB_GOLDEN_PSI = {32: 3.706069041498665e-03}
 def test_pb_harmonic_golden_reproduces_in_f32(n):
     sim, state, extra_f, psi_exact = make_pb_harmonic(n, dtype=jnp.float32)
     assert state.x.dtype == jnp.float32
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
-    pre = sim.precompute(state, geom)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
     psi, psigrad, info = ek.solve_poisson_boltzmann(
         state, geom, pre, sim.cfg, extra_f=extra_f.astype(jnp.float32)
     )

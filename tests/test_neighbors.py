@@ -116,7 +116,7 @@ def test_overflow_regrow_policy():
     from isph_tpu.models import tgv
 
     sim, state = tgv.make_tgv(16, max_neighbors=16)  # true max is ~28
-    nbrs = sim.neighbors(state)
+    nbrs = jax.jit(sim.neighbors)(state)
     assert int(nbrs.overflow) > 0  # baseline would drop pairs
 
     state2, aux = sim.run(state, 2)

@@ -16,9 +16,9 @@ from isph_tpu.state import Kind
 
 def _setup(n=32):
     sim, state = tgv.make_tgv(n)
-    nbrs = sim.neighbors(state)
-    geom = sim.geometry(state, nbrs)
-    pre = sim.precompute(state, geom)
+    nbrs = jax.jit(sim.neighbors)(state)
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
     return sim, state, geom, pre
 
 

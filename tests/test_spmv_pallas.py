@@ -21,10 +21,10 @@ def system():
         32, dtype=jnp.float32, max_neighbors=32, pad_multiple=128,
         gather_chunks=8,
     )
-    nbrs = sim.neighbors(state)
+    nbrs = jax.jit(sim.neighbors)(state)
     assert int(nbrs.overflow) == 0
-    geom = sim.geometry(state, nbrs)
-    pre = sim.precompute(state, geom)
+    geom = jax.jit(sim.geometry)(state, nbrs)
+    pre = jax.jit(sim.precompute)(state, geom)
     A = cops.laplacian_matrix(
         geom, pre.vfrac, pre.Gc, pre.Lc, state.kind,
         alpha=-sim.cfg.dt, material=1.0 / state.rho,
@@ -74,7 +74,7 @@ def test_streaming_window_overflow_detected():
         64, dtype=jnp.float32, max_neighbors=32, pad_multiple=128,
         gather_chunks=8,
     )
-    nbrs = sim.neighbors(state)
+    nbrs = jax.jit(sim.neighbors)(state)
     plan_bad = sp.to_streaming(nbrs.plan, state.n, 128, subcap=1)
     assert int(plan_bad.overflow) > 0
     plan_ok = sp.to_streaming(nbrs.plan, state.n, 512, subcap=1)

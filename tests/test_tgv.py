@@ -31,9 +31,9 @@ def _run(n, nsteps, **kw):
 
     @jax.jit
     def onestep(state):
-        nbrs = sim.neighbors(state)
-        geom = sim.geometry(state, nbrs)
-        pre = sim.precompute(state, geom)
+        nbrs = jax.jit(sim.neighbors)(state)
+        geom = jax.jit(sim.geometry)(state, nbrs)
+        pre = jax.jit(sim.precompute)(state, geom)
         state, info = ns.navier_stokes_step(state, geom, pre, cfg)
         return state, geom, pre, info.poisson.relres
 
