@@ -125,7 +125,7 @@ def to_streaming(plan: GatherPlan, n: int, window: int,
     nch = n // CHUNK
     wch = window // CHUNK
     trow = jnp.arange(ntiles, dtype=jnp.int32)[:, None, None]
-    cs = plan.cstart.astype(jnp.int32)  # chunk ids
+    cs = plan.cstart.astype(jnp.int32) // CHUNK  # lane starts -> chunk ids
     # unwrap each chunk id to the image nearest its row tile
     d = cs - trow
     d = d - jnp.round(d.astype(jnp.float32) / nch).astype(jnp.int32) * nch
@@ -186,11 +186,12 @@ def make_gather_plan(idx: jax.Array, max_chunks) -> GatherPlan:
     uniq = jnp.take_along_axis(srt, order, axis=1)
     uniq_valid = jnp.take_along_axis(first, order, axis=1)
     scid = jnp.where(uniq_valid, uniq, -1).astype(jnp.int32)
-    # cstart stores CHUNK INDICES as int16 (the kernel multiplies by 128):
-    # absolute lane starts as int32 blew the 1 MB SMEM scalar-prefetch
-    # budget at 1M particles (8192 tiles x 4 groups x 8 slots x 4 B); chunk
-    # ids cover n <= 32767*128 = 4.19M particles
-    cstart = jnp.where(uniq_valid, uniq, 0).astype(jnp.int16)
+    # int32 LANE starts: the int16-chunk-id form (tried for SMEM headroom)
+    # measured a 40% kernel slowdown — the scalar convert+multiply feeds the
+    # dynamic-slice address path; the STREAMING plan (to_streaming) uses the
+    # compact int16 form instead, which is what needs the SMEM headroom at
+    # 8192 tiles
+    cstart = jnp.where(uniq_valid, uniq * CHUNK, 0).astype(jnp.int32)
     nuniq2 = nuniq.reshape(ntiles, ngroups)
     mc_arr = jnp.asarray(mc, jnp.int32)[None, :]
     overflow = jnp.maximum(nuniq2 - mc_arr, 0).max().astype(jnp.int32)
@@ -256,8 +257,7 @@ def _group_gather(x8_ref, enc_g, gidx, cstart_ref, ncomp, mc_g, max_chunks):
     pid = enc_g >> 7  # plan-slot id per element: shared by every pass
     for c in range(mc_g):
         sel = pid == c
-        start = pl.multiple_of(
-            cstart_ref[gidx * max_chunks + c].astype(jnp.int32) * CHUNK, CHUNK)
+        start = pl.multiple_of(cstart_ref[gidx * max_chunks + c], CHUNK)
         for comp in range(ncomp):
             xb = x8_ref[comp * GROUP:(comp + 1) * GROUP, pl.ds(start, CHUNK)]
             gv = jnp.take_along_axis(xb, lidx, axis=1)
