@@ -299,8 +299,8 @@ def bench_poisson_solve(n_lattice, precond, tol=1e-6):
     _, its, rrs = f4(b)
     it = int(np.asarray(its)[0]); rr = float(np.asarray(rrs)[0])
     float(f1(b)[0])
-    best = float("inf")
-    for r in range(5):
+    slopes = []
+    for r in range(7):
         bb = b * (1.0 + 1e-6 * (r + 1))
         jax.block_until_ready(bb)
         t0 = time.perf_counter(); float(f1(bb)[0])
@@ -308,7 +308,10 @@ def bench_poisson_solve(n_lattice, precond, tol=1e-6):
         t2 = time.perf_counter()
         sl = ((t2 - t1) - (t1 - t0)) / 3.0
         if sl > 0:
-            best = min(best, sl)
+            slopes.append(sl)
+    # MEDIAN of positive slopes: the min can be jitter-deflated through the
+    # tunnel (observed a 220-iteration solve "measured" at 0.9 ms)
+    best = float(np.median(slopes)) if slopes else float("inf")
     _log(f"poisson[{n_lattice},{precond}]: {best*1e3:.2f} ms iters={it} "
          f"relres={rr:.1e}")
     return best, it, rr
