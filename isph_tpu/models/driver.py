@@ -289,6 +289,10 @@ class Simulation:
             max_neighbors=nb.max_neighbors + 8,
             cell_capacity=nb.cell_capacity * 2,
             gather_chunks=gc,
+            # a streaming plan folds band-window overflow into
+            # neighbor_overflow (ops/neighbors.py:271-274) — larger K/cell
+            # capacity cannot fix it, only a wider window can (ADVICE r4)
+            stream_window=nb.stream_window * 2 if nb.stream_window else 0,
         )
         return dataclasses.replace(self, cfg=self.cfg.replace(neighbor=grown))
 
@@ -304,14 +308,26 @@ class Simulation:
         step = jax.jit(sim.step_fn())
         aux = None
         done = 0
+        retries = 0
         while done < nsteps:
             new_state, aux = step(state)
             if int(aux.neighbor_overflow) > 0:
+                # bounded (ADVICE r4): an overflow that shape growth cannot
+                # fix (e.g. particle order drifted out of a streaming band)
+                # must fail loudly, not recompile forever
+                retries += 1
+                if retries > 4:
+                    raise RuntimeError(
+                        f"step {done}: neighbor/plan overflow persists after "
+                        f"{retries - 1} shape growths — re-sort the particle "
+                        "order (prepare) or raise neighbor.stream_window"
+                    )
                 sim = sim.with_larger_neighbors()
                 step = jax.jit(sim.step_fn())
                 continue  # retry the same step with room for every pair
             state = new_state
             done += 1
+            retries = 0
         return state, aux
 
     def run_until(
@@ -326,14 +342,22 @@ class Simulation:
         step = jax.jit(sim.step_fn())
         aux = None
         done = 0
+        retries = 0
         while done < nsteps:
             new_state, aux = step(state)
             if int(aux.neighbor_overflow) > 0:
+                retries += 1
+                if retries > 4:
+                    raise RuntimeError(
+                        f"step {done}: neighbor/plan overflow persists after "
+                        f"{retries - 1} shape growths"
+                    )
                 sim = sim.with_larger_neighbors()
                 step = jax.jit(sim.step_fn())
                 continue
             state = new_state
             done += 1
+            retries = 0
             if bool(quit_fn(state, aux)):
                 break
         return state, aux, done

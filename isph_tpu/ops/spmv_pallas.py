@@ -95,6 +95,11 @@ class GatherPlan:
     # the caller-padded x_ext = [x[n-W:], x, x[:W]] and the kernel streams
     # a sliding band window of x from HBM per grid step.
     stream_window: int = 0
+    # grid-step width (row tiles per step) the window-relative cstart was
+    # baked against in to_streaming — the stream kernels MUST use this same
+    # value (ADVICE r4: re-deriving it from an independently defaulted
+    # subcap silently mis-based every window)
+    stream_sub: int = 0
 
     @property
     def max_chunks(self) -> int:
@@ -103,7 +108,7 @@ class GatherPlan:
 
 jax.tree_util.register_dataclass(
     GatherPlan, data_fields=["scid", "cstart", "counts", "overflow", "enc"],
-    meta_fields=["mc", "stream_window"],
+    meta_fields=["mc", "stream_window", "stream_sub"],
 )
 
 
@@ -143,6 +148,7 @@ def to_streaming(plan: GatherPlan, n: int, window: int,
         cstart=cs_rel.astype(jnp.int16),
         overflow=plan.overflow + ovf.astype(jnp.int32),
         stream_window=window,
+        stream_sub=sub,
     )
 
 _DEAD_ENC = 0x7FFF  # pass 255: never swept (mc <= 16), sentinel for dead slots
@@ -396,22 +402,50 @@ def _spmv_call(cstart, diag, vals, enc, x, mc: tuple, subcap: int = 32):
     return y
 
 
+def _window_dma(xhbm_ref, xwin_ref, sem_ref, step, subtiles, ncomp, window,
+                nsteps):
+    """Double-buffered band-window DMA (VERDICT r4 #1: the serialized
+    start/wait put the window fetch latency on every grid step's critical
+    path — ~4 us/step at 1M particles).  Window t+1 is issued BEFORE step
+    t's compute so its transfer rides under the pass sweep; two (ncomp,
+    WINW) buffers alternate.  Returns the VMEM row base of step's window."""
+    WINW = subtiles * CHUNK + 2 * window
+    slot = step % 2
+
+    def cp(s, buf):
+        return pltpu.make_async_copy(
+            xhbm_ref.at[:, pl.ds(s * (subtiles * CHUNK), WINW)],
+            xwin_ref.at[pl.ds(buf * ncomp, ncomp), :],
+            sem_ref.at[buf],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        cp(step, slot).start()
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        cp(step + 1, 1 - slot).start()
+
+    cp(step, slot).wait()
+    return slot * ncomp
+
+
 def _spmv_stream_kernel(
     cstart_ref, diag_ref, vals_ref, enc_ref, xhbm_ref, y_ref,
-    xrow_ref, x8_ref, sem_ref,
-    *, ngroups, ncomp, mc, subtiles, window,
+    xwin_ref, x8_ref, sem_ref,
+    *, ngroups, ncomp, mc, subtiles, window, nsteps,
 ):
     """Streaming variant: x_ext stays in HBM; each grid step DMAs the
-    band window [base, base + sub*128 + 2W) of x_ext into VMEM and
-    broadcasts it across sublanes; the pass loop is identical to
-    _spmv_kernel with window-relative chunk starts."""
+    band window [base, base + sub*128 + 2W) of x_ext into VMEM (double
+    buffered — window t+1 prefetched during step t) and broadcasts it
+    across sublanes; the pass loop is identical to _spmv_kernel with
+    window-relative chunk starts."""
     step = pl.program_id(0)
     WINW = subtiles * CHUNK + 2 * window
-    base = step * (subtiles * CHUNK)
-    cp = pltpu.make_async_copy(
-        xhbm_ref.at[:, pl.ds(base, WINW)], xrow_ref, sem_ref)
-    cp.start()
-    cp.wait()
+    rbase = _window_dma(xhbm_ref, xwin_ref, sem_ref, step, subtiles, ncomp,
+                        window, nsteps)
+    xrow_ref = xwin_ref.at[pl.ds(rbase, ncomp), :]
     for comp in range(ncomp):
         x8_ref[comp * GROUP:(comp + 1) * GROUP, :] = jnp.broadcast_to(
             xrow_ref[comp, :].reshape(1, WINW), (GROUP, WINW)
@@ -451,28 +485,29 @@ def _spmv_stream_kernel(
             )
 
 
-@functools.partial(jax.jit, static_argnames=("mc", "window", "subcap"))
+@functools.partial(jax.jit, static_argnames=("mc", "window", "sub"))
 def _spmv_stream_call(cstart, diag, vals, enc, x, mc: tuple, window: int,
-                      subcap: int = 32):
+                      sub: int):
     """x: (C, n) UNPADDED; the wrap margins are concatenated here (an O(W)
     copy per matvec, ~2 extra chunks of HBM traffic vs the K*n*6 B vals
-    stream)."""
+    stream).  ``sub`` is the grid-step width the plan's window-relative
+    cstart was baked against (GatherPlan.stream_sub)."""
     K, n = vals.shape
     ncomp = x.shape[0]
     ntiles = n // CHUNK
     ngroups = K // GROUP
-    sub = _pick_subtiles(ntiles, subcap)
     W = sub * CHUNK
     WINW = W + 2 * window
+    nsteps = ntiles // sub
     x_ext = jnp.concatenate([x[:, n - window:], x, x[:, :window]], axis=1)
     y = pl.pallas_call(
         functools.partial(
             _spmv_stream_kernel, ngroups=ngroups, ncomp=ncomp, mc=mc,
-            subtiles=sub, window=window,
+            subtiles=sub, window=window, nsteps=nsteps,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(ntiles // sub,),
+            grid=(nsteps,),
             in_specs=[
                 pl.BlockSpec((1, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
                 pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
@@ -483,9 +518,9 @@ def _spmv_stream_call(cstart, diag, vals, enc, x, mc: tuple, window: int,
                 (ncomp, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((ncomp, WINW), x.dtype),
+                pltpu.VMEM((2 * ncomp, WINW), x.dtype),  # double-buffered window
                 pltpu.VMEM((ncomp * GROUP, WINW), x.dtype),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((ncomp, n), x.dtype),
@@ -515,10 +550,11 @@ def spmv(plan: GatherPlan, diag, vals_masked, x):
     if plan.stream_window:
         if x.ndim == 2:
             return _spmv_stream_call(plan.cstart, diag, vals_masked, plan.enc,
-                                     x, plan.mc, plan.stream_window)
+                                     x, plan.mc, plan.stream_window,
+                                     plan.stream_sub)
         return _spmv_stream_call(
             plan.cstart, diag, vals_masked, plan.enc, x.reshape(1, -1),
-            plan.mc, plan.stream_window,
+            plan.mc, plan.stream_window, plan.stream_sub,
         ).reshape(-1)
     if x.ndim == 2:
         if x.shape[0] * GROUP * x.shape[1] * 4 > _SCRATCH_BUDGET:
@@ -571,16 +607,14 @@ _SCRATCH_BUDGET = 9_000_000  # bytes
 
 
 def _take_stream_kernel(
-    cstart_ref, enc_ref, xhbm_ref, out_ref, xrow_ref, x8_ref, sem_ref,
-    *, ngroups, ncomp, mc, subtiles, window,
+    cstart_ref, enc_ref, xhbm_ref, out_ref, xwin_ref, x8_ref, sem_ref,
+    *, ngroups, ncomp, mc, subtiles, window, nsteps,
 ):
     step = pl.program_id(0)
     WINW = subtiles * CHUNK + 2 * window
-    base = step * (subtiles * CHUNK)
-    cp = pltpu.make_async_copy(
-        xhbm_ref.at[:, pl.ds(base, WINW)], xrow_ref, sem_ref)
-    cp.start()
-    cp.wait()
+    rbase = _window_dma(xhbm_ref, xwin_ref, sem_ref, step, subtiles, ncomp,
+                        window, nsteps)
+    xrow_ref = xwin_ref.at[pl.ds(rbase, ncomp), :]
     for comp in range(ncomp):
         x8_ref[comp * GROUP:(comp + 1) * GROUP, :] = jnp.broadcast_to(
             xrow_ref[comp, :].reshape(1, WINW), (GROUP, WINW)
@@ -610,24 +644,24 @@ def _take_stream_kernel(
                 out_ref[comp, sl, lanes] = accs[comp]
 
 
-@functools.partial(jax.jit, static_argnames=("mc", "window", "subcap"))
-def _take_stream_call(cstart, enc, x, mc: tuple, window: int, subcap: int = 32):
+@functools.partial(jax.jit, static_argnames=("mc", "window", "sub"))
+def _take_stream_call(cstart, enc, x, mc: tuple, window: int, sub: int):
     K, n = enc.shape
     ncomp = x.shape[0]
     ntiles = n // CHUNK
     ngroups = K // GROUP
-    sub = _pick_subtiles(ntiles, subcap)
     W = sub * CHUNK
     WINW = W + 2 * window
+    nsteps = ntiles // sub
     x_ext = jnp.concatenate([x[:, n - window:], x, x[:, :window]], axis=1)
     return pl.pallas_call(
         functools.partial(
             _take_stream_kernel, ngroups=ngroups, ncomp=ncomp, mc=mc,
-            subtiles=sub, window=window,
+            subtiles=sub, window=window, nsteps=nsteps,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(ntiles // sub,),
+            grid=(nsteps,),
             in_specs=[
                 pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -636,9 +670,9 @@ def _take_stream_call(cstart, enc, x, mc: tuple, window: int, subcap: int = 32):
                 (ncomp, K, W), lambda t, *_: (0, 0, t), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((ncomp, WINW), x.dtype),
+                pltpu.VMEM((2 * ncomp, WINW), x.dtype),  # double-buffered window
                 pltpu.VMEM((ncomp * GROUP, WINW), x.dtype),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((ncomp, K, n), x.dtype),
@@ -656,9 +690,10 @@ def take(plan: GatherPlan, x):
     if plan.stream_window:
         if x.ndim == 2:
             return _take_stream_call(plan.cstart, plan.enc, x, plan.mc,
-                                     plan.stream_window)
+                                     plan.stream_window, plan.stream_sub)
         return _take_stream_call(plan.cstart, plan.enc, x.reshape(1, -1),
-                                 plan.mc, plan.stream_window)[0]
+                                 plan.mc, plan.stream_window,
+                                 plan.stream_sub)[0]
     if x.ndim == 2:
         if x.shape[0] * GROUP * x.shape[1] * 4 > _SCRATCH_BUDGET:
             return jnp.stack(

@@ -823,7 +823,18 @@ class ShardedSimulation:
             # congruence class; <=63 extra slots)
             while (self.n_loc + 2 * halo) % 128 != 0:
                 halo += 1
-            halo = min(halo, self.n_loc)
+            # keep halo <= n_loc WITHOUT breaking the congruence (ADVICE r4:
+            # a bare min() could land within 63 slots of n_loc and trip the
+            # __post_init__ assert mid-retry): step down by 64, which
+            # preserves (n_loc + 2*halo) % 128
+            while halo > self.n_loc:
+                halo -= 64
+            if halo <= 0:
+                raise RuntimeError(
+                    f"cannot grow halo under n_loc={self.n_loc} while "
+                    "keeping the 128-lane congruence — repartition with a "
+                    "larger n_loc"
+                )
         return dataclasses.replace(
             self,
             sim=self.sim.with_larger_neighbors(),

@@ -213,10 +213,9 @@ class FactoredTransfer:
             return (u * ohs[1].T).sum(axis=1)
         ox, oy, oz = ohs
         t = xc.reshape(self.shape)  # [cx, cy, cz]
-        # u[i, cz] = sum_{cx,cy} Ox[cx,i] Oy[cy,i] t[cx,cy,cz]
-        w = jnp.einsum("ai,abc->ibc", ox, t)  # (N, ncy, ncz) -- big; batch
-        # avoid the (N, ncy, ncz) blowup: contract per cz slice
-        del w
+        # u[i, cz] = sum_{cx,cy} Ox[cx,i] Oy[cy,i] t[cx,cy,cz], contracted
+        # per cz slice so the peak intermediate stays (N, ncy) — never the
+        # (N, ncy, ncz) blowup this class exists to avoid (ADVICE r4)
 
         def comp(tc):  # tc: (ncx, ncy) one z-slice
             u = ox.T @ tc  # (N, ncy)

@@ -145,6 +145,84 @@ def cg(
     return KrylovResult(x=x, iters=it, relres=relres, converged=relres <= tol)
 
 
+def cg_multi(
+    matvec: Callable,
+    B: jax.Array,
+    X0: Optional[jax.Array] = None,
+    *,
+    M: Optional[Callable] = None,
+    tol: float = 1.0e-8,
+    maxiter: int = 500,
+    axis_name: Optional[str] = None,
+) -> KrylovResult:
+    """Batched preconditioned CG over a (C, N) multivector: all C systems
+    share ONE matvec and ONE stacked reduction per iteration, with per-system
+    step scalars.  This is the TPU-native analogue of the reference QEq
+    solver's dual-system overlap (``CG_async``/``dual_CG``,
+    fix_qeq_reax.cpp:883-1073: the s and t solves share H and interleave
+    their allreduces) — here they share the SpMV's vals/enc HBM streams and
+    every psum.  Converged systems freeze (alpha = beta = 0) until all are
+    done; per-system iters/relres/converged come back as (C,) arrays."""
+    dtype = B.dtype
+    ncomp = B.shape[0]
+    X = jnp.zeros_like(B) if X0 is None else X0
+    if M is None:
+        M = lambda v: v
+
+    def rowdots(pairs):
+        # one stacked reduction for all (C,) row dots (compensated in f32,
+        # same policy as _fused_dots)
+        if _use_compensated(dtype):
+            hilo = [jax.vmap(comp_dot)(p, q) for p, q in pairs]
+            s = jnp.stack([h for h, _ in hilo] + [l for _, l in hilo])
+            if axis_name is not None:
+                s = lax.psum(s, axis_name)
+            k = len(pairs)
+            return s[:k] + s[k:]
+        s = jnp.stack([jnp.sum(p * q, axis=-1) for p, q in pairs])
+        if axis_name is not None:
+            s = lax.psum(s, axis_name)
+        return s
+
+    R = B - matvec(X)
+    Z = M(R)
+    P = Z
+    d0 = rowdots([(R, Z), (R, R), (B, B)])
+    rz, rr, bb = d0[0], d0[1], d0[2]
+    bnorm = jnp.maximum(jnp.sqrt(bb), jnp.asarray(1e-30, dtype))
+
+    def _active(rr, its):
+        return (jnp.sqrt(rr) / bnorm > tol) & (its < maxiter)
+
+    def cond(carry):
+        _, _, _, _, rr, its = carry
+        return jnp.any(_active(rr, its))
+
+    def body(carry):
+        X, R, P, rz, rr, its = carry
+        act = _active(rr, its)
+        actf = act.astype(dtype)[:, None]
+        AP = matvec(P)
+        pap = rowdots([(P, AP)])[0]
+        alpha = (rz / jnp.where(pap != 0, pap, 1.0))[:, None] * actf
+        X = X + alpha * P
+        R = R - alpha * AP
+        Z = M(R)
+        d = rowdots([(R, Z), (R, R)])
+        rz_new = jnp.where(act, d[0], rz)
+        rr_new = jnp.where(act, d[1], rr)
+        beta = (rz_new / jnp.where(rz != 0, rz, 1.0))[:, None] * actf
+        P = jnp.where(act[:, None], Z + beta * P, P)
+        its = its + act.astype(its.dtype)
+        return (X, R, P, rz_new, rr_new, its)
+
+    X, R, P, rz, rr, its = lax.while_loop(
+        cond, body, (X, R, P, rz, rr, jnp.zeros((ncomp,), jnp.int32))
+    )
+    relres = jnp.sqrt(rr) / bnorm
+    return KrylovResult(x=X, iters=its, relres=relres, converged=relres <= tol)
+
+
 def pipelined_cg(
     matvec: Callable,
     b: jax.Array,

@@ -4,8 +4,9 @@ The reference wraps Ifpack ILU(k) and ML smoothed-aggregation AMG
 (precond_ifpack.h, precond_ml.h).  Sequential triangular solves are hostile to
 TPU; the TPU-native ladder is: Jacobi -> Chebyshev-accelerated Jacobi ->
 smoothed-aggregation AMG with Chebyshev smoothers (see SURVEY §7 stage 3).
-This module currently provides the first two rungs; AMG lands with the
-large-problem performance work.
+This module provides the first two rungs; the AMG rung lives in
+``solvers/amg.py`` (spatial-cell aggregation, factored transfers) and the
+ILU rung in ``solvers/ilu.py`` (Chow–Patel fixed-point ILU(0)).
 """
 
 from __future__ import annotations

@@ -257,6 +257,34 @@ def test_pipelined_cg_preconditioned():
     np.testing.assert_allclose(np.asarray(res.x), xex, atol=1e-7)
 
 
+def test_cg_multi_matches_per_system_cg():
+    """Batched dual-solve CG (QEq CG_async parity, fix_qeq_reax.cpp:883-1073):
+    each system of the (C, N) multivector must converge to the same solution
+    and iteration count as its own scalar CG run."""
+    from isph_tpu.solvers.krylov import cg, cg_multi
+
+    Ad = _random_ell(spd=True, seed=21)
+    n = Ad.shape[0]
+    rng = np.random.default_rng(22)
+    xex = rng.standard_normal((2, n))
+    # make the second system much easier so convergence is staggered and the
+    # freeze path (converged system held fixed) is exercised
+    B = jnp.asarray(np.stack([Ad @ xex[0], np.diag(Ad) * 0.0 + Ad @ xex[1]]))
+    mv = lambda V: (jnp.asarray(Ad) @ V.T).T
+    Minv = jnp.asarray(1.0 / np.diag(Ad))
+    M = lambda R: Minv * R
+    res = cg_multi(mv, B, M=M, tol=1e-11, maxiter=500)
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(np.asarray(res.x), xex, atol=1e-7)
+    for c in range(2):
+        rc = cg(lambda v: jnp.asarray(Ad) @ v, B[c], M=M, tol=1e-11,
+                maxiter=500)
+        assert bool(rc.converged)
+        np.testing.assert_allclose(np.asarray(res.x[c]), np.asarray(rc.x),
+                                   atol=1e-9)
+        assert int(res.iters[c]) == int(rc.iters)
+
+
 # ---------------------------------------------------------------------------
 # Recycling GMRES (GCRODR parity, solver_lin_belos.h:233)
 # ---------------------------------------------------------------------------
