@@ -156,9 +156,12 @@ def bench_spmv(n_lattice=256, max_neighbors=32, n1=200, n2=2400):
     return nnz_per_s, nnz, dt, 2.0 * nnz / dtm, actual_bytes
 
 
-def bench_spmv_streaming(n_lattice=1024, window=4096, n1=20, n2=120):
+def bench_spmv_streaming(n_lattice=1024, window=3072, n1=20, n2=120,
+                         gather_chunks=(7, 7, 7, 4), subcap=64):
     """HBM-streaming SpMV at N beyond the VMEM-resident-x limit (VERDICT r3
     #5): 1024^2 = 1,048,576 particles, x streamed as a sliding band window.
+    Per-rank ragged plan widths (measured r5: (7,7,7,4), Σ=25 passes, beats
+    uniform 8's Σ=32 — low slot ranks span fewer chunks than high ranks).
     """
     from isph_tpu.models import tgv
     from isph_tpu.ops import corrected as ops
@@ -170,9 +173,10 @@ def bench_spmv_streaming(n_lattice=1024, window=4096, n1=20, n2=120):
     import dataclasses as _dc
     sim, state = tgv.make_tgv(
         n_lattice, dtype=jnp.float32, max_neighbors=32, pad_multiple=128,
-        gather_chunks=8,
+        gather_chunks=gather_chunks,
     )
-    cfgn = _dc.replace(sim.cfg.neighbor, stream_window=window)
+    cfgn = _dc.replace(sim.cfg.neighbor, stream_window=window,
+                       stream_subcap=subcap)
     sim = _dc.replace(sim, cfg=sim.cfg.replace(neighbor=cfgn))
     nbrs = jax.jit(sim.neighbors)(state)
     assert int(nbrs.overflow) == 0, (
@@ -201,7 +205,7 @@ def bench_spmv_streaming(n_lattice=1024, window=4096, n1=20, n2=120):
         return sp.GatherPlan(
             scid=z, cstart=cstart, counts=z[:, :, 0],
             overflow=jnp.zeros((), jnp.int32), enc=enc, mc=plan_s.mc,
-            stream_window=plan_s.stream_window,
+            stream_window=plan_s.stream_window, stream_sub=plan_s.stream_sub,
         )
 
     def many(iters):
@@ -243,7 +247,29 @@ def bench_spmv_streaming(n_lattice=1024, window=4096, n1=20, n2=120):
                 break
     nnz = float(np.asarray(geom.mask).sum() + state.n)
     _log(f"spmv-stream: {best*1e6:.1f} us/matvec {nnz/best/1e9:.1f} Gnnz/s")
-    return nnz / best, nnz, state.n
+
+    # 2-RHS multivector (the Helmholtz dim-RHS production shape,
+    # pair_isph.cpp:936): the vals/enc streams are shared across components,
+    # so per-RHS cost drops well below the single-RHS floor
+    xm = jnp.stack([x, x * 0.5 + 1.0])
+    float(f1(*args, xm).sum()); float(f2(*args, xm).sum())
+    bestm = float("inf")
+    good = 0
+    for rep in range(8):
+        a = jnp.asarray(np.random.default_rng(50 + rep)
+                        .standard_normal((2, state.n)), jnp.float32)
+        jax.block_until_ready(a)
+        t0 = time.perf_counter(); float(f1(*args, a).sum())
+        t1 = time.perf_counter(); float(f2(*args, a).sum())
+        t2 = time.perf_counter()
+        sl = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+        if sl > 0:
+            bestm = min(bestm, sl); good += 1
+            if good >= 3:
+                break
+    _log(f"spmv-stream 2-RHS: {bestm*1e6:.1f} us/matvec "
+         f"{2*nnz/bestm/1e9:.1f} Gnnz/s")
+    return nnz / best, nnz, state.n, 2.0 * nnz / bestm
 
 
 def bench_poisson_solve(n_lattice, precond, tol=1e-6):
@@ -517,10 +543,12 @@ def _run_benches(small: bool) -> str:
                 _log(f"poisson bench {nlat} failed: {e}")
         # ---- HBM-streaming SpMV at 1M particles (x > VMEM) ---------------
         try:
-            st_nnz_s, st_nnz, st_n = bench_spmv_streaming()
+            st_nnz_s, st_nnz, st_n, st2 = bench_spmv_streaming()
             extras["spmv_stream_1m_nnz_per_s"] = st_nnz_s
             extras["spmv_stream_1m_particles"] = st_n
             extras["spmv_stream_1m_vs_baseline"] = st_nnz_s / target_
+            extras["spmv_stream_1m_2rhs_nnz_per_s"] = st2
+            extras["spmv_stream_1m_2rhs_vs_baseline"] = st2 / target_
         except Exception as e:
             extras["spmv_stream_error"] = f"{type(e).__name__}"
             _log(f"spmv streaming bench failed: {e}")

@@ -173,6 +173,10 @@ class NeighborConfig:
     # truthy (lanes, multiple of 128): convert the plan to the HBM-streaming
     # band-window form for N beyond the VMEM-resident-x limit (~256k/chip)
     stream_window: int = 0
+    # row tiles per streaming grid step (cap; the largest power of two
+    # dividing ntiles is used).  Larger = fewer per-step fixed costs
+    # (window DMA + sublane-broadcast fill), more VMEM per block
+    stream_subcap: int = 64
     # (ops/spmv_pallas.py) — either one int (uniform chunk-list width) or a
     # tuple of per-8-slot-group widths (len max_neighbors//8); 0 disables.
     # Requires N % 128 == 0 (pad_multiple=128) and spatially sorted particles.

@@ -75,6 +75,7 @@ class Simulation:
             self.cfg.neighbor.max_neighbors, self.cfg.neighbor.cell_capacity,
             gather_chunks=gc if gc else None,
             stream_window=self.cfg.neighbor.stream_window,
+            stream_subcap=self.cfg.neighbor.stream_subcap,
         )
 
     def geometry(self, state: ParticleState, nbrs: NeighborList) -> PairGeom:

@@ -127,6 +127,7 @@ def build_neighbor_list(
     cell_capacity: int = 32,
     gather_chunks: Optional[int] = None,
     stream_window: int = 0,
+    stream_subcap: int = 64,
 ) -> NeighborList:
     """Cell-list neighbor search with static shapes.
 
@@ -271,7 +272,7 @@ def build_neighbor_list(
         if stream_window:
             from isph_tpu.ops.spmv_pallas import to_streaming
 
-            plan = to_streaming(plan, n, stream_window)
+            plan = to_streaming(plan, n, stream_window, subcap=stream_subcap)
         overflow = overflow + plan.overflow
     return NeighborList(idx=idx, mask=mask, count=count,
                         overflow=overflow.astype(jnp.int32), plan=plan)

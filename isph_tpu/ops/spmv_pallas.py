@@ -140,12 +140,15 @@ def to_streaming(plan: GatherPlan, n: int, window: int,
     base = (jnp.arange(ntiles, dtype=jnp.int32) // sub * sub)[:, None, None]
     rel = u - base  # must lie in [-wch, sub + wch - 1]
     ovf = ((rel < -wch) | (rel > sub + wch - 1)).sum()
-    # WINDOW-RELATIVE chunk ids (same int16 chunk-index convention as the
-    # base plan)
+    # WINDOW-RELATIVE int32 LANE starts (r5: the per-pass scalar path is
+    # SMEM load -> dynamic-slice; an int16 convert or a *128 multiply on it
+    # costs ~2 scalar cycles per pass instance, which at 1M particles was
+    # ~40% of the kernel — int32 lane starts need no per-pass scalar math.
+    # SMEM cost: ntiles*ngroups*max(mc)*4 B, ~0.9 MB at 8192 tiles)
     cs_rel = jnp.clip(rel + wch, 0, sub + 2 * wch - 1)
     return dataclasses.replace(
         plan,
-        cstart=cs_rel.astype(jnp.int16),
+        cstart=(cs_rel * CHUNK).astype(jnp.int32),
         overflow=plan.overflow + ovf.astype(jnp.int32),
         stream_window=window,
         stream_sub=sub,
@@ -402,38 +405,51 @@ def _spmv_call(cstart, diag, vals, enc, x, mc: tuple, subcap: int = 32):
     return y
 
 
-def _window_dma(xhbm_ref, xwin_ref, sem_ref, step, subtiles, ncomp, window,
-                nsteps):
+def _window_dma(xhbm_ref, bufs, x8_ref, sem_ref, step, subtiles, ncomp,
+                window, nsteps):
     """Double-buffered band-window DMA (VERDICT r4 #1: the serialized
     start/wait put the window fetch latency on every grid step's critical
     path — ~4 us/step at 1M particles).  Window t+1 is issued BEFORE step
-    t's compute so its transfer rides under the pass sweep; two (ncomp,
-    WINW) buffers alternate.  Returns the VMEM row base of step's window."""
+    t's compute so its transfer rides under the pass sweep; ``bufs`` are two
+    (ncomp, WINW) VMEM buffers alternating by step parity (static-index
+    branches — Mosaic rejects dynamic sublane-dim slices of a fused buffer).
+    Each branch also broadcasts its window across the 8 sublanes of
+    ``x8_ref``, which is the only ref the pass sweep reads."""
     WINW = subtiles * CHUNK + 2 * window
     slot = step % 2
 
     def cp(s, buf):
         return pltpu.make_async_copy(
             xhbm_ref.at[:, pl.ds(s * (subtiles * CHUNK), WINW)],
-            xwin_ref.at[pl.ds(buf * ncomp, ncomp), :],
+            bufs[buf],
             sem_ref.at[buf],
         )
 
     @pl.when(step == 0)
     def _():
-        cp(step, slot).start()
+        cp(step, 0).start()
 
-    @pl.when(step + 1 < nsteps)
+    @pl.when((step + 1 < nsteps) & (slot == 0))
     def _():
-        cp(step + 1, 1 - slot).start()
+        cp(step + 1, 1).start()
 
-    cp(step, slot).wait()
-    return slot * ncomp
+    @pl.when((step + 1 < nsteps) & (slot == 1))
+    def _():
+        cp(step + 1, 0).start()
+
+    for b in (0, 1):
+        @pl.when(slot == b)
+        def _(b=b):
+            cp(step, b).wait()
+            for comp in range(ncomp):
+                x8_ref[comp * GROUP:(comp + 1) * GROUP, :] = jnp.broadcast_to(
+                    bufs[b][comp, :].reshape(1, WINW), (GROUP, WINW)
+                )
 
 
 def _spmv_stream_kernel(
     cstart_ref, diag_ref, vals_ref, enc_ref, xhbm_ref, y_ref,
-    xwin_ref, x8_ref, sem_ref,
+    xwa_ref, xwb_ref, x8_ref, sem_ref,
     *, ngroups, ncomp, mc, subtiles, window, nsteps,
 ):
     """Streaming variant: x_ext stays in HBM; each grid step DMAs the
@@ -442,14 +458,8 @@ def _spmv_stream_kernel(
     across sublanes; the pass loop is identical to _spmv_kernel with
     window-relative chunk starts."""
     step = pl.program_id(0)
-    WINW = subtiles * CHUNK + 2 * window
-    rbase = _window_dma(xhbm_ref, xwin_ref, sem_ref, step, subtiles, ncomp,
-                        window, nsteps)
-    xrow_ref = xwin_ref.at[pl.ds(rbase, ncomp), :]
-    for comp in range(ncomp):
-        x8_ref[comp * GROUP:(comp + 1) * GROUP, :] = jnp.broadcast_to(
-            xrow_ref[comp, :].reshape(1, WINW), (GROUP, WINW)
-        )
+    _window_dma(xhbm_ref, (xwa_ref, xwb_ref), x8_ref, sem_ref, step,
+                subtiles, ncomp, window, nsteps)
     for w in range(subtiles):
         t = step * subtiles + w
         lanes = slice(w * CHUNK, (w + 1) * CHUNK)
@@ -461,13 +471,14 @@ def _spmv_stream_kernel(
             gidx = t * ngroups + g
             lidx = enc_g & (CHUNK - 1)
             pid = enc_g >> 7
-            accs = [jnp.zeros(enc_g.shape, xrow_ref.dtype) for _ in range(ncomp)]
+            accs = [jnp.zeros(enc_g.shape, x8_ref.dtype) for _ in range(ncomp)]
             for c in range(mc[g]):
                 sel = pid == c
-                # cstart holds window-RELATIVE chunk ids (int16)
+                # cstart holds window-RELATIVE int16 LANE starts (the *128
+                # is baked in at to_streaming — scalar multiplies on the
+                # address path are expensive)
                 start = pl.multiple_of(
-                    cstart_ref[gidx * max(mc) + c].astype(jnp.int32) * CHUNK,
-                    CHUNK)
+                    cstart_ref[gidx * max(mc) + c], CHUNK)
                 for comp in range(ncomp):
                     xb = x8_ref[comp * GROUP:(comp + 1) * GROUP,
                                 pl.ds(start, CHUNK)]
@@ -476,12 +487,14 @@ def _spmv_stream_kernel(
             for comp in range(ncomp):
                 p = vals_g * accs[comp]
                 tot8[comp] = p if tot8[comp] is None else tot8[comp] + p
-        # own x values: window-relative = window + w*128
+        # own x values: window-relative = window + w*128 (read off the
+        # broadcast scratch — any one sublane of the component's band)
         own = pl.multiple_of(window + w * CHUNK, CHUNK)
         d = diag_ref[0, lanes]
         for comp in range(ncomp):
             y_ref[comp, lanes] = (
-                d * xrow_ref[comp, pl.ds(own, CHUNK)] + tot8[comp].sum(axis=0)
+                d * x8_ref[comp * GROUP, pl.ds(own, CHUNK)]
+                + tot8[comp].sum(axis=0)
             )
 
 
@@ -518,7 +531,8 @@ def _spmv_stream_call(cstart, diag, vals, enc, x, mc: tuple, window: int,
                 (ncomp, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2 * ncomp, WINW), x.dtype),  # double-buffered window
+                pltpu.VMEM((ncomp, WINW), x.dtype),  # window double-buffer A
+                pltpu.VMEM((ncomp, WINW), x.dtype),  # window double-buffer B
                 pltpu.VMEM((ncomp * GROUP, WINW), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -607,18 +621,12 @@ _SCRATCH_BUDGET = 9_000_000  # bytes
 
 
 def _take_stream_kernel(
-    cstart_ref, enc_ref, xhbm_ref, out_ref, xwin_ref, x8_ref, sem_ref,
+    cstart_ref, enc_ref, xhbm_ref, out_ref, xwa_ref, xwb_ref, x8_ref, sem_ref,
     *, ngroups, ncomp, mc, subtiles, window, nsteps,
 ):
     step = pl.program_id(0)
-    WINW = subtiles * CHUNK + 2 * window
-    rbase = _window_dma(xhbm_ref, xwin_ref, sem_ref, step, subtiles, ncomp,
-                        window, nsteps)
-    xrow_ref = xwin_ref.at[pl.ds(rbase, ncomp), :]
-    for comp in range(ncomp):
-        x8_ref[comp * GROUP:(comp + 1) * GROUP, :] = jnp.broadcast_to(
-            xrow_ref[comp, :].reshape(1, WINW), (GROUP, WINW)
-        )
+    _window_dma(xhbm_ref, (xwa_ref, xwb_ref), x8_ref, sem_ref, step,
+                subtiles, ncomp, window, nsteps)
     for w in range(subtiles):
         t = step * subtiles + w
         lanes = slice(w * CHUNK, (w + 1) * CHUNK)
@@ -628,13 +636,12 @@ def _take_stream_kernel(
             gidx = t * ngroups + g
             lidx = enc_g & (CHUNK - 1)
             pid = enc_g >> 7
-            accs = [jnp.zeros(enc_g.shape, xrow_ref.dtype)
+            accs = [jnp.zeros(enc_g.shape, x8_ref.dtype)
                     for _ in range(ncomp)]
             for c in range(mc[g]):
                 sel = pid == c
                 start = pl.multiple_of(
-                    cstart_ref[gidx * max(mc) + c].astype(jnp.int32) * CHUNK,
-                    CHUNK)
+                    cstart_ref[gidx * max(mc) + c], CHUNK)
                 for comp in range(ncomp):
                     xb = x8_ref[comp * GROUP:(comp + 1) * GROUP,
                                 pl.ds(start, CHUNK)]
@@ -670,7 +677,8 @@ def _take_stream_call(cstart, enc, x, mc: tuple, window: int, sub: int):
                 (ncomp, K, W), lambda t, *_: (0, 0, t), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2 * ncomp, WINW), x.dtype),  # double-buffered window
+                pltpu.VMEM((ncomp, WINW), x.dtype),  # window double-buffer A
+                pltpu.VMEM((ncomp, WINW), x.dtype),  # window double-buffer B
                 pltpu.VMEM((ncomp * GROUP, WINW), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
