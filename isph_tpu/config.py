@@ -66,6 +66,12 @@ class SolverConfig:
     recycle_k: int = 0  # >0: GCRO-DR recycling GMRES on the pressure Poisson
     # with a k-vector deflation space carried ACROSS timesteps in
     # ParticleState.solver_cache (Belos "Recycling Gmres", solver_lin_belos.h:233)
+    # AMG hierarchy max age in steps (reference: the Stratimikos/NOX wrapper
+    # reuses the ML preconditioner until it ages out,
+    # solver_nox_stratimikos.h; pair_isph.cpp:473-484 skips setup under
+    # neighbor delay).  1 = rebuild every solve (old behavior); >1 caches
+    # the hierarchy in ParticleState.amg_cache and rebuilds every k-th step
+    precond_max_age: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -95,6 +95,22 @@ class Simulation:
             state = state.replace(
                 ale_hist=ale.ALEHistory.init(state, self.cfg.mls.bdf_order, self.cfg.dt)
             )
+        sc = self.cfg.solver
+        if (sc.precond == "amg" and sc.precond_max_age > 1
+                and self.cfg.backend != "mls_ale"
+                and state.amg_cache is None):
+            # seed the zero-filled hierarchy cache; step 0's max-age
+            # condition fires and fills it (solver_nox_stratimikos.h parity)
+            from isph_tpu.solvers.amg import amg_cache_zeros
+
+            state = state.replace(
+                amg_cache=amg_cache_zeros(
+                    self.cfg.neighbor.max_neighbors, state.n, state.dim,
+                    state.dtype, self.domain, self.cfg.cut,
+                ),
+                step=(state.step if state.step is not None
+                      else jnp.zeros((), jnp.int32)),
+            )
         return state
 
     # -- one full timestep -------------------------------------------------

@@ -69,15 +69,19 @@ class SolveInfo(NamedTuple):
 
 
 def _solve(cfg: SimulationConfig, A: ELL, b, x0, *, null_vec=None, axis_name=None,
-           amg: Optional[Tuple] = None, recycle=None):
+           amg: Optional[Tuple] = None, recycle=None, M_override=None):
     """Returns (KrylovResult, recycle_out); recycle_out is None unless a
-    RecycleSpace was passed in (GCRO-DR path, SolverConfig.recycle_k)."""
+    RecycleSpace was passed in (GCRO-DR path, SolverConfig.recycle_k).
+    ``M_override``: a ready preconditioner apply (e.g. a cached AMG cycle,
+    see solve_poisson's max-age path) that bypasses the ladder below."""
     sc = cfg.solver
     # dtype-aware tolerance floor: the Belos default 1e-8 (solver_lin_belos.h:236)
     # presumes f64; in f32 the attainable relative residual bottoms out near
     # ~30 eps, below which Krylov iterations only burn matvecs.
     tol = max(sc.tol, 30.0 * float(jnp.finfo(b.dtype).eps))
-    if amg is not None and sc.precond == "amg":
+    if M_override is not None:
+        M = M_override
+    elif amg is not None and sc.precond == "amg":
         # AMG hierarchy (replaces ML, precond_ml.h); amg = (x, domain, cutoff);
         # the null vector rides into the hierarchy (ML setNullVector parity)
         x_pos, domain, cutoff = amg
@@ -317,12 +321,16 @@ def poisson_system(
 def solve_poisson(
     state: ParticleState, geom: PairGeom, pre: Precomputed, cfg: SimulationConfig,
     vstar: jax.Array, *, domain: Optional[Domain] = None, axis_name=None,
-    recycle=None,
-) -> Tuple[jax.Array, KrylovResult, Optional[object]]:
+    recycle=None, amg_cache=None, amg_rebuild=None,
+) -> Tuple[jax.Array, KrylovResult, Optional[object], Optional[object]]:
     """Solve the pressure Poisson system.
 
-    Always returns ``(dp, result, recycle_out)``; ``recycle_out`` is None
-    unless a RecycleSpace was passed in (GCRO-DR path).
+    Always returns ``(dp, result, recycle_out, amg_cache_out)``;
+    ``recycle_out`` is None unless a RecycleSpace was passed in (GCRO-DR
+    path).  When ``amg_cache`` (an AMGCache pytree) is given with the "amg"
+    preconditioner, the hierarchy is rebuilt only when ``amg_rebuild`` is
+    true (the max-age policy, solver_nox_stratimikos.h) and the
+    possibly-refreshed cache comes back as ``amg_cache_out``.
 
     With homogeneous-Neumann walls the assembled system is BLOCK TRIANGULAR:
     fluid rows touch only fluid columns (filter (F,F)), and the wall-normal
@@ -353,14 +361,43 @@ def solve_poisson(
             jnp.where(fluid_rows, A.diag, jnp.asarray(1.0, dtype))
         )
         b_f = jnp.where(fluid_rows, b, 0.0)
+        M_ov, cache_out = _amg_cached(cfg, A_f, amg, null_vec, amg_cache,
+                                      amg_rebuild)
         res, recycle = _solve(cfg, A_f, b_f, x0, null_vec=null_vec,
-                              axis_name=axis_name, amg=amg, recycle=recycle)
+                              axis_name=axis_name, amg=amg, recycle=recycle,
+                              M_override=M_ov)
         dp = relax_wall_pressure(A, b, res.x, state, pre)
-        return dp, res, recycle
+        return dp, res, recycle, cache_out
 
+    M_ov, cache_out = _amg_cached(cfg, A, amg, null_vec, amg_cache,
+                                  amg_rebuild)
     res, recycle = _solve(cfg, A, b, x0, null_vec=null_vec, axis_name=axis_name,
-                          amg=amg, recycle=recycle)
-    return res.x, res, recycle
+                          amg=amg, recycle=recycle, M_override=M_ov)
+    return res.x, res, recycle, cache_out
+
+
+def _amg_cached(cfg, A, amg, null_vec, amg_cache, amg_rebuild):
+    """Max-age AMG (VERDICT r4 #4): rebuild the hierarchy under a lax.cond
+    only when the age condition fires, otherwise reuse the cached coarse
+    levels with a fresh fine-level smoother diagonal.  Returns (M or None,
+    refreshed cache or None)."""
+    if amg_cache is None or amg is None or cfg.solver.precond != "amg":
+        return None, None
+    from jax import lax
+
+    from isph_tpu.solvers.amg import amg_from_cache, build_amg, cache_of
+
+    x_pos, domain, cutoff = amg
+    if amg_rebuild is None:
+        amg_rebuild = jnp.asarray(True)
+
+    def rebuild(_):
+        return cache_of(build_amg(A, x_pos, domain, cutoff,
+                                  null_vec=null_vec))
+
+    cache = lax.cond(amg_rebuild, rebuild, lambda c: c, amg_cache)
+    M = amg_from_cache(A, cache, null_vec=null_vec).apply
+    return M, cache
 
 
 def relax_wall_pressure(
@@ -495,19 +532,29 @@ def navier_stokes_step(
         vstar, hinfo = solve_block_helmholtz(state, geom, pre, cfg, axis_name=axis_name)
     else:
         vstar, hinfo = solve_helmholtz(state, geom, pre, cfg, axis_name=axis_name)
+    # AMG max-age: rebuild the cached hierarchy every precond_max_age steps
+    # (always on step 0 — prepare() seeds a zero cache)
+    amg_rebuild = None
+    if state.amg_cache is not None:
+        age = max(1, cfg.solver.precond_max_age)
+        amg_rebuild = (jnp.asarray(True) if state.step is None
+                       else (state.step % age) == 0)
     if cfg.solver.recycle_k > 0:
         from isph_tpu.solvers.krylov import init_recycle
 
         rec = state.solver_cache
         if rec is None:
             rec = init_recycle(state.n, cfg.solver.recycle_k, state.dtype)
-        dp, pinfo, rec = solve_poisson(state, geom, pre, cfg, vstar,
-                                       domain=domain, axis_name=axis_name,
-                                       recycle=rec)
+        dp, pinfo, rec, cache = solve_poisson(
+            state, geom, pre, cfg, vstar, domain=domain, axis_name=axis_name,
+            recycle=rec, amg_cache=state.amg_cache, amg_rebuild=amg_rebuild)
         state = state.replace(solver_cache=rec)
     else:
-        dp, pinfo, _ = solve_poisson(state, geom, pre, cfg, vstar, domain=domain,
-                                     axis_name=axis_name)
+        dp, pinfo, _, cache = solve_poisson(
+            state, geom, pre, cfg, vstar, domain=domain, axis_name=axis_name,
+            amg_cache=state.amg_cache, amg_rebuild=amg_rebuild)
+    if cache is not None:
+        state = state.replace(amg_cache=cache)
     if cfg.ns.use_incremental_pressure:
         dp = zero_mean_pressure(dp, state, axis_name=axis_name)
     vstar = correct_velocity(state, geom, pre, cfg, vstar, dp)

@@ -335,6 +335,27 @@ def galerkin_coarse(
     return ELL(diag=cdiag, vals=cvals, idx=cidx, mask=cmask.astype(A.vals.dtype))
 
 
+def _stencil_matvec(lvl: ELL, x: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
+    """Coarse-level matvec as 3^D-1 vectorized ``jnp.roll`` shifts.
+
+    The coarse levels live on REGULAR grids whose ELL columns are exactly
+    coords+offset (see _grid_ell_structure), so the gather x[idx[q]] is a
+    roll of the grid image — no scalar gather.  XLA lowers ``x[idx]`` on
+    TPU to a serialized per-element gather (~15 us per coarse smoothing
+    sweep at 43^2 cells, dominating the V-cycle); the roll form is pure
+    slice/concat.  Non-periodic edges are handled by the mask (built with
+    the grid's periodicity), which zeroes wrapped contributions."""
+    dim = len(shape)
+    xg = x.reshape(shape)
+    y = lvl.diag * x
+    vm = lvl.vals * lvl.mask
+    for q, off in enumerate(_stencil_offsets(dim)):
+        xq = jnp.roll(xg, shift=tuple(int(-o) for o in off),
+                      axis=tuple(range(dim))).reshape(-1)
+        y = y + vm[q] * xq
+    return y
+
+
 @dataclasses.dataclass
 class AMG:
     """V-cycle preconditioner: apply(r) ~= A^{-1} r.
@@ -362,6 +383,14 @@ class AMG:
     exchange: Optional[object] = None
     ownedf: Optional[jax.Array] = None
     axis_name: Optional[str] = None
+    # static grid shapes for levels >= 1 (len = len(levels) - 1): enables
+    # the roll-based stencil matvec; empty tuple falls back to ELL.matvec
+    grid_shapes: tuple = ()
+
+    def _matvec(self, l: int, A: ELL, x):
+        if l >= 1 and l - 1 < len(self.grid_shapes):
+            return _stencil_matvec(A, x, self.grid_shapes[l - 1])
+        return A.matvec(x)
 
     def _dot(self, a, b):
         s = (a * b).sum()
@@ -377,7 +406,8 @@ class AMG:
         dinv = self.dinvs[l]
         dist = l == 0 and self.exchange is not None
         for _ in range(sweeps):
-            ax = A.matvec(self.exchange(x)) if dist else A.matvec(x)
+            ax = (A.matvec(self.exchange(x)) if dist
+                  else self._matvec(l, A, x))
             x = x + dinv * (b - ax)
             if dist:
                 x = x * self.ownedf
@@ -389,7 +419,8 @@ class AMG:
             return self.coarse_inv @ b
         dist = l == 0 and self.exchange is not None
         x = self._smooth(l, A, jnp.zeros_like(b), b, self.npre)
-        r = b - (A.matvec(self.exchange(x)) if dist else A.matvec(x))
+        r = b - (A.matvec(self.exchange(x)) if dist
+                 else self._matvec(l, A, x))
         if dist:
             r = r * self.ownedf
         agg = self.aggs[l]
@@ -541,4 +572,107 @@ def build_amg(
         nh = null_vec / jnp.maximum(jnp.sqrt(nsq), 1e-30)
     return AMG(levels=levels, aggs=aggs, dinvs=dinvs, transfers=transfers,
                coarse_inv=coarse_inv, null_vec=nh, npre=npre, npost=npost,
-               exchange=exchange, ownedf=owned, axis_name=axis_name)
+               exchange=exchange, ownedf=owned, axis_name=axis_name,
+               grid_shapes=tuple(tuple(g.ncell) for g in grids))
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy cache: the precond max-age policy (VERDICT r4 #4).
+#
+# The reference keeps its ML preconditioner until it ages out
+# (solver_nox_stratimikos.h precond max-age; pair_isph.cpp:473-484 skips
+# setup entirely when the neighbor delay holds the graph fixed).  Particles
+# move a small fraction of a cell per step, so a hierarchy built a few steps
+# ago is still an excellent preconditioner — staleness only nudges the
+# iteration count.  The cache carries everything position/value-dependent
+# EXCEPT the fine level: the V-cycle always smooths with the CURRENT A
+# (levels[0]) and a freshly computed l1-Jacobi fine diagonal (one cheap pass
+# over A.vals), so the preconditioner tracks the true operator at the level
+# where it matters most.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["coarse_levels", "aggs", "transfers", "coarse_dinvs",
+                      "coarse_inv"],
+         meta_fields=["grid_shapes"])
+@dataclasses.dataclass
+class AMGCache:
+    """Reusable (stale-tolerant) pieces of an AMG hierarchy."""
+
+    coarse_levels: tuple  # ELL per level >= 1
+    aggs: tuple  # (N,) fine agg ids + static grid parents
+    transfers: tuple  # Dense/FactoredTransfer per level
+    coarse_dinvs: tuple  # l1-Jacobi inverse diagonals for levels >= 1
+    coarse_inv: jax.Array  # dense inverse of the coarsest operator
+    grid_shapes: tuple = ()  # static coarse grid shapes (meta)
+
+
+def cache_of(amg: AMG) -> AMGCache:
+    return AMGCache(
+        coarse_levels=tuple(amg.levels[1:]),
+        aggs=tuple(amg.aggs),
+        transfers=tuple(amg.transfers),
+        coarse_dinvs=tuple(amg.dinvs[1:]),
+        coarse_inv=amg.coarse_inv,
+        grid_shapes=amg.grid_shapes,
+    )
+
+
+def amg_from_cache(
+    A: ELL,
+    cache: AMGCache,
+    *,
+    omega: float = 0.8,
+    npre: int = 2,
+    npost: int = 2,
+    null_vec: Optional[jax.Array] = None,
+    exchange=None,
+    owned: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+) -> AMG:
+    """Assemble a V-cycle from the CURRENT fine matrix + a cached hierarchy
+    (fresh fine l1-Jacobi diagonal; everything else reused)."""
+    dtype = A.vals.dtype
+    l1 = jnp.abs(A.diag) + (jnp.abs(A.vals) * A.mask).sum(axis=0)
+    sgn = jnp.where(A.diag < 0, -1.0, 1.0)
+    dinv0 = jnp.asarray(omega, dtype) * sgn / jnp.maximum(l1, 1e-30)
+    nh = None
+    if null_vec is not None:
+        nsq = (null_vec * null_vec).sum()
+        if axis_name is not None:
+            nsq = jax.lax.psum(nsq, axis_name)
+        nh = null_vec / jnp.maximum(jnp.sqrt(nsq), 1e-30)
+    return AMG(
+        levels=[A, *cache.coarse_levels],
+        aggs=list(cache.aggs),
+        dinvs=[dinv0, *cache.coarse_dinvs],
+        transfers=list(cache.transfers),
+        coarse_inv=cache.coarse_inv,
+        null_vec=nh, npre=npre, npost=npost,
+        exchange=exchange, ownedf=owned, axis_name=axis_name,
+        grid_shapes=cache.grid_shapes,
+    )
+
+
+def amg_cache_zeros(
+    k_slots: int, n: int, dim: int, dtype, domain: Domain, cutoff: float,
+    **build_kw,
+) -> AMGCache:
+    """Zero-filled cache with the exact pytree structure ``build_amg`` +
+    :func:`cache_of` would produce for a (K, N) matrix — the initial state
+    carried into the jitted step (the first step's max-age condition fires
+    and fills it).  Derived via ``jax.eval_shape`` so the structure can
+    never drift from the real builder."""
+    A_spec = ELL(
+        diag=jax.ShapeDtypeStruct((n,), dtype),
+        vals=jax.ShapeDtypeStruct((k_slots, n), dtype),
+        idx=jax.ShapeDtypeStruct((k_slots, n), jnp.int32),
+        mask=jax.ShapeDtypeStruct((k_slots, n), dtype),
+    )
+    x_spec = jax.ShapeDtypeStruct((dim, n), dtype)
+    out = jax.eval_shape(
+        lambda Aa, xx: cache_of(build_amg(Aa, xx, domain, cutoff, **build_kw)),
+        A_spec, x_spec,
+    )
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), out)

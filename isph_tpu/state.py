@@ -130,6 +130,13 @@ class ParticleState:
     # so GCRO-DR amortizes Krylov work across solves (reference Belos
     # "Recycling Gmres", solver_lin_belos.h:233)
     solver_cache: Optional[object] = None
+    # AMG hierarchy cache (solvers.amg.AMGCache pytree) reused across steps
+    # under the precond max-age policy (reference: Stratimikos/NOX keeps the
+    # ML preconditioner until it ages out, solver_nox_stratimikos.h, and
+    # pair_isph.cpp:473-484 skips setup when neighbors are delayed).  A stale
+    # hierarchy is still a valid right-preconditioner — only iteration
+    # counts are affected; rebuilt every solver.precond_max_age steps.
+    amg_cache: Optional[object] = None
     # BDF histories (physics.ale.ALEHistory pytree) for the MLS/ALE backend;
     # initialized by Simulation.prepare (reference atom->vprev/xprev)
     ale_hist: Optional[object] = None

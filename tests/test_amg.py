@@ -139,3 +139,56 @@ def test_amg_with_factored_transfers_converges():
         assert bool(res.converged), name
         its[name] = int(res.iters)
     assert its["factored"] <= its["dense"] + 2, its
+
+def test_amg_cache_max_age_reuse():
+    """Max-age hierarchy reuse (VERDICT r4 #4; solver_nox_stratimikos.h
+    precond max-age): a TGV run with the cached-AMG step must (a) seed and
+    carry the AMGCache pytree, (b) produce the same physics as the
+    rebuild-every-solve path, and (c) converge the Poisson solve every step
+    with the stale hierarchy."""
+    import dataclasses
+    from isph_tpu.solvers.amg import AMGCache, amg_cache_zeros, cache_of
+
+    sim, state = tgv.make_tgv(16)
+    sim = dataclasses.replace(sim, cfg=sim.cfg.replace(
+        solver=dataclasses.replace(sim.cfg.solver, precond="amg",
+                                   precond_max_age=3)))
+    st = sim.prepare(state)
+    assert isinstance(st.amg_cache, AMGCache)
+    # structural parity: zeros cache matches a real build's pytree exactly
+    sim0, state0 = tgv.make_tgv(16)
+    _, _, A, _ = _poisson((sim0, state0))
+    real = cache_of(build_amg(A, state0.x, sim0.domain, sim0.cfg.cut))
+    z = st.amg_cache
+    assert jax.tree_util.tree_structure(real) == jax.tree_util.tree_structure(z)
+    for a, b_ in zip(jax.tree.leaves(real), jax.tree.leaves(z)):
+        assert a.shape == b_.shape and a.dtype == b_.dtype
+
+    st5, aux = sim.run(st, 5)  # steps 0..4: rebuild at 0 and 3, reuse 1,2,4
+    assert bool(aux.poisson_relres < 1e-6)
+    # cache was filled (coarse inverse no longer zeros)
+    assert float(jnp.abs(st5.amg_cache.coarse_inv).max()) > 0
+
+    # physics parity vs rebuild-every-solve (max_age=1 -> no cache path)
+    sim1 = dataclasses.replace(sim, cfg=sim.cfg.replace(
+        solver=dataclasses.replace(sim.cfg.solver, precond="amg",
+                                   precond_max_age=1)))
+    st1, _ = sim1.run(sim1.prepare(state), 5)
+    np.testing.assert_allclose(np.asarray(st5.p), np.asarray(st1.p),
+                               atol=5e-8)
+
+def test_stencil_matvec_matches_ell():
+    """The roll-based coarse matvec must equal the ELL gather matvec on
+    periodic AND non-periodic grids (mask zeroes wrapped edges)."""
+    from isph_tpu.solvers.amg import _stencil_matvec, build_amg
+
+    for mk in (tgv.make_tgv(32), ):
+        sim, state, A, b = _poisson(mk)
+        M = build_amg(A, state.x, sim.domain, sim.cfg.cut)
+        rng = np.random.default_rng(3)
+        for l in range(1, len(M.levels)):
+            lvl = M.levels[l]
+            x = jnp.asarray(rng.standard_normal(lvl.n))
+            ref = np.asarray(lvl.matvec(x))
+            got = np.asarray(_stencil_matvec(lvl, x, M.grid_shapes[l - 1]))
+            np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)

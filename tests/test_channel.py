@@ -207,7 +207,7 @@ def test_wall_pressure_relaxation_satisfies_neumann_rows():
     pre = ns.compute_pre(state, geom, cfg)
     vstar, _ = ns.solve_helmholtz(state, geom, pre, cfg)
     A, b = ns.poisson_system(state, geom, pre, cfg, vstar)
-    dp, _, _ = ns.solve_poisson(state, geom, pre, cfg, vstar, domain=sim.domain)
+    dp, _, _, _ = ns.solve_poisson(state, geom, pre, cfg, vstar, domain=sim.domain)
 
     nsq = sum(np.asarray(pre.normal[d]) ** 2 for d in range(state.dim))
     wall = np.asarray(state.is_solid & state.valid) & (nsq > 0.5)
