@@ -588,8 +588,12 @@ def spmv(plan: GatherPlan, diag, vals_masked, x):
 
 @functools.partial(jax.jit, static_argnames=("mc",))
 def _take_call(cstart, enc, x, mc: tuple):
+    # RECTANGULAR gathers supported: enc may be (K, m) with m != x's
+    # particle width (e.g. the halo-strip gather of the overlapped
+    # distributed matvec, parallel/sharded.py) — the plan's chunk starts
+    # index into x's full axis, the grid tiles over enc's rows
     K, n = enc.shape
-    ncomp = x.shape[0]
+    ncomp, nx = x.shape
     ntiles = n // CHUNK
     ngroups = K // GROUP
     sub = _pick_subtiles(ntiles)
@@ -603,12 +607,12 @@ def _take_call(cstart, enc, x, mc: tuple):
             grid=(ntiles // sub,),
             in_specs=[
                 pl.BlockSpec((K, W), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
-                pl.BlockSpec((ncomp, n), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ncomp, nx), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (ncomp, K, W), lambda t, *_: (0, 0, t), memory_space=pltpu.VMEM
             ),
-            scratch_shapes=[pltpu.VMEM((ncomp * GROUP, n), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((ncomp * GROUP, nx), x.dtype)],
         ),
         out_shape=jax.ShapeDtypeStruct((ncomp, K, n), x.dtype),
         interpret=_interpret(),

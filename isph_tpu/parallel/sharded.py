@@ -174,9 +174,53 @@ class _Comm(NamedTuple):
     axis: str
     owned: jax.Array  # (n_ext,) bool: owned AND valid
     ownedf: jax.Array  # (n_ext,) dtype
+    # halo-strip metadata for the OVERLAPPED distributed matvec (VERDICT r4
+    # #3; SURVEY §2.6 "overlap with local SpMV compute"; the reference's
+    # Epetra Import-inside-Multiply + QEq CG_async overlap,
+    # fix_qeq_reax.cpp:883-977).  Halo columns appear only in rows within
+    # ``cut`` of a slab face — exactly the rows the halo spec already packs
+    # — so the matvec splits into an interior SpMV on owned columns (no
+    # communication dependency) plus a (K, 2H) boundary strip consuming the
+    # exchanged halos; XLA's scheduler hides the collective-permute under
+    # the interior sweep.  None on 1-device meshes (nothing to hide).
+    strip_rows: Optional[jax.Array] = None  # (2H,) row ids [send_l | send_r]
+    strip_idx: Optional[jax.Array] = None  # (K, 2H) columns of those rows
+    strip_mask: Optional[jax.Array] = None  # (K, 2H) per-side halo-col mask
+    strip_plan: Optional[object] = None  # pallas gather plan for the strip
 
     def refresh(self, f: jax.Array) -> jax.Array:
         return halo_exchange(f, self.spec, self.n_loc, self.axis)
+
+    def matvec_overlapped(self, A):
+        """Build ``mv(v) = (A @ refresh(v)) * ownedf`` with the halo
+        exchange OFF the interior SpMV's critical path.  The column split
+        (A_own = halo-column values zeroed; strip = halo-side contributions
+        of the boundary rows) is exact: rows referencing left-halo columns
+        are precisely the ``goes_l`` rows packed into send_left (same
+        geometric cut), so every halo entry is covered by its side's strip
+        exactly once — duplicate rows between the two strips contribute
+        disjoint column sets."""
+        from isph_tpu.ops.ell import ELL
+        from isph_tpu.ops.spmv_pallas import take, use_pallas
+
+        own = (A.idx < self.n_loc).astype(A.vals.dtype)
+        A_own = ELL(A.diag, A.vals * own, A.idx, A.mask, A.plan)
+        vals_s = A.vals[:, self.strip_rows] * self.strip_mask
+        rows = self.strip_rows
+        idx_s = self.strip_idx
+        plan = self.strip_plan
+
+        def mv(v):
+            xe = self.refresh(v)  # ppermutes, independent of the next line
+            y = A_own.matvec(v)  # interior: halo values unread (vals zeroed)
+            if plan is not None and use_pallas(plan, v.dtype):
+                xs = take(plan, xe)
+            else:
+                xs = xe[idx_s]
+            y = y.at[rows].add((vals_s * xs).sum(axis=0))
+            return y * self.ownedf
+
+        return mv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -309,10 +353,6 @@ class ShardedSimulation:
             valid=owned_valid,
             **{k: v for k, v in ext_fields.items() if v is not None},
         )
-        comm = _Comm(
-            spec=spec, n_loc=n_loc, axis=axis,
-            owned=owned_valid, ownedf=owned_valid.astype(dtype),
-        )
 
         # ---- local neighbor list + pair geometry (common local frame) ---
         x_local = ext.x.at[0].add(-my_lo)
@@ -327,12 +367,37 @@ class ShardedSimulation:
         kern = get_kernel(cfg.kernel.type)
         geom = compute_pair_geometry(x_local, nbrs, ldom, kern, cfg.h)
 
+        # ---- halo-strip metadata for the overlapped distributed matvec
+        # (see _Comm.matvec_overlapped) — built per epoch off the neighbor
+        # list (all per-step matrices share its sparsity); strip-plan
+        # overflow folds into the step's neighbor-overflow retry policy
+        strip_rows = strip_idx = strip_mask = strip_plan = None
+        overflow = nbrs.overflow + spec.overflow
+        if self.n_dev > 1:
+            strip_rows = jnp.concatenate([spec.send_left, spec.send_right])
+            strip_idx = nbrs.idx[:, strip_rows]
+            in_l = (strip_idx >= n_loc) & (strip_idx < n_loc + H)
+            in_r = strip_idx >= n_loc + H
+            side = jnp.arange(2 * H) >= H  # False: send_left half
+            strip_mask = jnp.where(side[None, :], in_r, in_l).astype(dtype)
+            if self.gather_chunks is not None and (2 * H) % 128 == 0:
+                from isph_tpu.ops.spmv_pallas import make_gather_plan
+
+                strip_plan = make_gather_plan(strip_idx, self.gather_chunks)
+                overflow = overflow + strip_plan.overflow
+
+        comm = _Comm(
+            spec=spec, n_loc=n_loc, axis=axis,
+            owned=owned_valid, ownedf=owned_valid.astype(dtype),
+            strip_rows=strip_rows, strip_idx=strip_idx,
+            strip_mask=strip_mask, strip_plan=strip_plan,
+        )
+
         # ---- computePre with in-phase halo refreshes (Vfrac comm:
         # functor_volume.h:76-81; NormalVector+pnd: pair_isph_corrected.cpp:
         # 1352-1377) — the Shepard volume is consumed at neighbor positions
         # by Gc/Lc, so its ghosts must be imported BEFORE those tensors
         pre = ns_projection.compute_pre(ext, geom, cfg, exchange=comm.refresh)
-        overflow = nbrs.overflow + spec.overflow
         return ext, comm, geom, pre, overflow
 
     def _step_local(self, state: ParticleState) -> Tuple[ParticleState, StepAux]:
@@ -642,8 +707,13 @@ class ShardedSimulation:
         sc = cfg.solver
         tol = max(sc.tol, 30.0 * float(jnp.finfo(b.dtype).eps))
 
-        def mv(x):
-            return A.matvec(comm.refresh(x)) * comm.ownedf
+        if comm.strip_rows is not None:
+            # interior/strip split: the halo ppermutes overlap the interior
+            # SpMV (VERDICT r4 #3)
+            mv = comm.matvec_overlapped(A)
+        else:
+            def mv(x):
+                return A.matvec(comm.refresh(x)) * comm.ownedf
 
         if amg is not None and sc.precond == "amg":
             from isph_tpu.solvers.amg import build_amg
@@ -653,6 +723,7 @@ class ShardedSimulation:
                 A, x_pos, domain, cutoff, null_vec=null_vec,
                 exchange=comm.refresh, owned=comm.ownedf,
                 axis_name=comm.axis,
+                fine_matvec=(mv if comm.strip_rows is not None else None),
             ).apply
         else:
             diag_safe = jnp.where(jnp.abs(A.diag) > 0, A.diag, 1.0)

@@ -386,6 +386,10 @@ class AMG:
     # static grid shapes for levels >= 1 (len = len(levels) - 1): enables
     # the roll-based stencil matvec; empty tuple falls back to ELL.matvec
     grid_shapes: tuple = ()
+    # optional overlapped fine-level distributed matvec (already
+    # owned-masked, halo exchange fused inside — _Comm.matvec_overlapped);
+    # replaces the serialized A.matvec(exchange(x)) on level 0
+    fine_matvec: Optional[object] = None
 
     def _matvec(self, l: int, A: ELL, x):
         if l >= 1 and l - 1 < len(self.grid_shapes):
@@ -406,8 +410,11 @@ class AMG:
         dinv = self.dinvs[l]
         dist = l == 0 and self.exchange is not None
         for _ in range(sweeps):
-            ax = (A.matvec(self.exchange(x)) if dist
-                  else self._matvec(l, A, x))
+            if dist:
+                ax = (self.fine_matvec(x) if self.fine_matvec is not None
+                      else A.matvec(self.exchange(x)))
+            else:
+                ax = self._matvec(l, A, x)
             x = x + dinv * (b - ax)
             if dist:
                 x = x * self.ownedf
@@ -419,8 +426,12 @@ class AMG:
             return self.coarse_inv @ b
         dist = l == 0 and self.exchange is not None
         x = self._smooth(l, A, jnp.zeros_like(b), b, self.npre)
-        r = b - (A.matvec(self.exchange(x)) if dist
-                 else self._matvec(l, A, x))
+        if dist:
+            ax = (self.fine_matvec(x) if self.fine_matvec is not None
+                  else A.matvec(self.exchange(x)))
+        else:
+            ax = self._matvec(l, A, x)
+        r = b - ax
         if dist:
             r = r * self.ownedf
         agg = self.aggs[l]
@@ -481,6 +492,7 @@ def build_amg(
     exchange=None,
     owned: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    fine_matvec=None,
 ) -> AMG:
     """Assemble the AMG hierarchy for the current matrix/positions.
 
@@ -573,7 +585,8 @@ def build_amg(
     return AMG(levels=levels, aggs=aggs, dinvs=dinvs, transfers=transfers,
                coarse_inv=coarse_inv, null_vec=nh, npre=npre, npost=npost,
                exchange=exchange, ownedf=owned, axis_name=axis_name,
-               grid_shapes=tuple(tuple(g.ncell) for g in grids))
+               grid_shapes=tuple(tuple(g.ncell) for g in grids),
+               fine_matvec=fine_matvec)
 
 
 # ---------------------------------------------------------------------------
