@@ -135,6 +135,13 @@ class SurfaceTensionConfig:
     # phase-pair strength table "s:i:j" (None => all pairs use alpha)
     pairwise_model: str = "tartakovsky_meakin"
     s: Optional[Tuple[Tuple[float, ...], ...]] = None
+    # FixISPH_IgnorePhaseGradient (fix_isph_ignore_phase_gradient.cpp:94-113):
+    # zero the CSF color gradient for particles within
+    # cut*ignore_thres_over_cut of the plane x[ignore_axis] = ignore_point
+    # (used at phase-injection buffers, multiphase-pore-scale-flow-2d.lmp)
+    ignore_axis: int = -1  # -1 disables
+    ignore_point: float = 0.0
+    ignore_thres_over_cut: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

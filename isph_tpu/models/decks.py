@@ -833,6 +833,462 @@ def make_pore_scale_flow(
 
 
 # ---------------------------------------------------------------------------
+# multiphase pore-scale flow — the reference's flagship application combo:
+# CSF multiphase inside a carved porous bead pack with phase injection
+# (sph-script/multiphase-pore-scale-flow-2d.lmp, -3d.lmp, -a-3d.lmp,
+#  -b-3d.lmp + multiphase-pore-scale-flow.xml)
+# ---------------------------------------------------------------------------
+
+# bead centroids of the 2-D deck's pack, transcribed from
+# multiphase-pore-scale-flow-bead-centeroids-2d.dat (5 beads; SI metres)
+_MPPS_BEADS_2D = (
+    (0.0, 0.0), (0.002, 0.003), (-0.002, 0.003),
+    (-0.002, -0.003), (0.002, -0.003),
+)
+
+# per-variant parameter sets of the three 3-D decks (deck headers:
+# multiphase-pore-scale-flow-{,a-,b-}3d.lmp:9-40)
+_MPPS_3D = {
+    "base": dict(N=128, r=0.0044, length=0.00234, bufoff=1.5e-4, umax=0.4),
+    "a": dict(N=96, r=0.0022, length=0.0070, bufoff=2.0e-4, umax=0.08),
+    "b": dict(N=96, r=0.0022, length=0.0070, bufoff=2.0e-4, umax=0.08),
+}
+
+
+def make_multiphase_pore_scale_flow(
+    n: int = 24,  # particles across the channel diameter (deck N = 80/128/96)
+    *,
+    dim: int = 2,
+    variant: str = "base",  # 3-D parameter set: "base" | "a" | "b"
+    nbeads: int = 5,
+    g: float = 9.8,  # xml g.y
+    alpha: float = 0.026,  # xml Surface Tension alpha
+    contact_theta: float = 0.17453,  # xml theta (wetting contact angle)
+    kappa_max: float = 10000.0,  # xml kappa
+    shift: float = 0.04,  # fix isph/shift 0.04 (2-D; 3-D decks use 0.07)
+    rho: float = 997.561,  # set group fluid_1 isph_density (deck :158)
+    nu: float = 8.9087e-07,
+    seed: int = 7,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+) -> Tuple[Simulation, ParticleState]:
+    """Two-phase percolation through a porous bead pack in a channel.
+
+    Geometry (multiphase-pore-scale-flow-2d.lmp:9-33,126): channel along y
+    (periodic), confining walls carved at |x| > r (2-D) or outside the
+    radius-r cylinder (3-D) by the isph/cylinder/porous compute, beads of
+    radius rbead re-typed solid inside [beadlo, beadhi].  The 2-D pack uses
+    the deck's five transcribed centroids; the 3-D decks read thousands
+    from pore-scale-flow-bead-centeroids-3d.dat, sampled randomly here.
+
+    Phase injection (deck :143-144): each step, fluid of phase 0 inside the
+    buffer band [bufmin, bufmax] flips to phase 1 (FixISPH_ModifyType —
+    which changes ONLY the type, fix_isph_modify_type.cpp:148-149: the
+    upstream deck's density_2/viscosity_2 `set group fluid_2` lines run
+    before any particle is type 2, so both phases genuinely carry fluid_1
+    properties), and the CSF color gradient is zeroed within 3 cuts of the
+    band (FixISPH_IgnorePhaseGradient).  Gravity g.y drives phase 1 through
+    the pore space against CSF surface tension with a 10-degree contact
+    angle.
+
+    Deviation: Singular Poisson = NullSpace (the pressure here is defined
+    up to a constant; the upstream deck leaves the default NotSingular and
+    relies on Krylov semiconvergence, pair_isph.cpp:1782)."""
+    if dim == 2:
+        r, length, bufoff, umax = 0.0044, 0.01, 0.7e-3, 0.1
+    else:
+        p = _MPPS_3D[variant]
+        r, length, bufoff, umax = p["r"], p["length"], p["bufoff"], p["umax"]
+        shift = 0.07  # fix isph/shift 0.07 (3-D decks :141)
+    buflen = 2.0e-3 if dim == 2 else 4.0e-4
+    rbead = 1.2e-3 if dim == 2 else 0.35 * r
+    dx = 2.0 * r / n
+    wall = 4.0 * dx
+    h = 1.5 * dx
+    cut = 3.0 * h  # xml cut over h = 3.0, Quintic
+    r0 = r + wall
+
+    lo = [-r0, -length] + ([-r0] if dim == 3 else [])
+    hi = [r0, length] + ([r0] if dim == 3 else [])
+    pts = _square_lattice(lo, hi, dx, dim)
+    # confining wall: outside radius r from the y axis (2-D: |x| > r)
+    if dim == 2:
+        rad = np.abs(pts[:, 0])
+    else:
+        rad = np.sqrt(pts[:, 0] ** 2 + pts[:, 2] ** 2)
+    is_wall = rad > r
+    # bead pack inside [beadlo, beadhi]
+    beadlo, beadhi = -length + buflen + bufoff, length - (buflen + bufoff)
+    if dim == 2:
+        centers = np.asarray(_MPPS_BEADS_2D)[:nbeads]
+    else:
+        rng = np.random.default_rng(seed)
+        cxz = rng.uniform(-(r - rbead), r - rbead, (4 * nbeads, 2))
+        cxz = cxz[np.hypot(cxz[:, 0], cxz[:, 1]) < r - rbead][:nbeads]
+        cy = rng.uniform(beadlo + rbead, beadhi - rbead, (cxz.shape[0],))
+        centers = np.stack([cxz[:, 0], cy, cxz[:, 1]], axis=-1)
+    in_bead = np.zeros(pts.shape[0], bool)
+    for c in centers:
+        in_bead |= np.linalg.norm(pts - np.asarray(c)[None, :], axis=1) < rbead
+    kind = np.where(is_wall | in_bead, Kind.SOLID, Kind.FLUID_BIT).astype(np.int32)
+
+    n_real = pts.shape[0]
+    state = make_state(
+        pts, kind=kind, rho=rho, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    state = state.replace(phase=jnp.zeros(state.n, jnp.int32))
+
+    bufmin = -length + bufoff
+    bufmax = bufmin + buflen
+    st = SurfaceTensionConfig(
+        enabled=True, model="csf", alpha=alpha, kappa_max=kappa_max,
+        theta=contact_theta,
+        ignore_axis=1, ignore_point=bufmin, ignore_thres_over_cut=3.0,
+    )
+    cfg = SimulationConfig(
+        dim=dim, h=h, dt=0.04 * h / umax, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.QUINTIC, cut_over_h=3.0),
+        ns=NavierStokesConfig(
+            theta=0.5, boundary=BoundaryCond.MORRIS_HOLMES, beta=100.0,
+            singular_poisson=SingularPoisson.NULL_SPACE,
+            g=(0.0, g) + ((0.0,) if dim == 3 else ()),
+        ),
+        st=st,
+        shift=ShiftConfig(enabled=shift > 0.0, shift=shift, nonfluidweight=0.1),
+        neighbor=_neighbor_cfg(dx, cut, dim, max_neighbors),
+    )
+
+    def inject_phase(s: ParticleState, t) -> ParticleState:
+        # FixISPH_ModifyType band flip 1 -> 2 every step (deck :143)
+        band = (s.x[1] > bufmin) & (s.x[1] < bufmax)
+        flip = band & s.is_fluid & s.valid & (s.phase == 0)
+        return s.replace(phase=jnp.where(flip, 1, s.phase))
+
+    domain = Domain(
+        lo=tuple(lo), hi=tuple(hi),
+        periodic=(False, True) + ((False,) if dim == 3 else ()),
+    )
+    return Simulation(cfg=cfg, domain=domain, modifier=inject_phase), state
+
+
+# ---------------------------------------------------------------------------
+# colloid-in-channel: inflow/outflow channel with buffer bands
+# (sph-script/colloid-in-channel-2d.lmp + colloid-in-channel.xml)
+# ---------------------------------------------------------------------------
+
+def make_colloid_in_channel(
+    n: int = 24,  # particles across the channel height (deck N = 36)
+    *,
+    lx_over_ly: float = 3.0,  # deck lxtmp/ly
+    u_in: float = 1.0,  # fix isph/modify/velocity 1.0 0.0 0.0 (deck :15)
+    nu: float = 0.1,  # set group all isph_viscosity (deck :78)
+    rho: float = 1.0,
+    rcolloid: float = 0.0,  # optional fixed circular colloid at the origin
+    # (the shipped deck carves NONE — its solid group is only the |y|>ly
+    # walls — so parity default is 0; set >0 for the deck name's intent)
+    shift: float = 0.04,  # fix isph/shift 0.04 0.0 cut
+    ramp_steps: int = 20,  # inlet spin-up (deviation: the upstream deck's
+    # impulsive uniform feed against the no-slip walls produces an O(u/dx)
+    # divergence sheet at the feed/wall corner whose discrete pressure
+    # impulse overshoots the corrected velocity ~5x per step — the shipped
+    # deck only ever runs 50 steps with the full run commented out.  A
+    # parabolic feed profile ramped over ramp_steps keeps the same steady
+    # state and is stable)
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+    max_neighbors: Optional[int] = None,
+) -> Tuple[Simulation, ParticleState]:
+    """Open channel with inflow/outflow buffer machinery
+    (colloid-in-channel-2d.lmp): x-periodic strip of bands
+    [dummy | inlet | interior | outlet] between solid walls at |y| > ly.
+    Per step (fixes 11-19), particles are re-typed by band — inlet =
+    buffer-Dirichlet with prescribed u = (u_in, 0), outlet =
+    buffer-Neumann, interior = fluid — and recycle through the periodic
+    seam.  The upstream buffer-dummy feed zone (type:5) maps to a held-
+    velocity Dirichlet band here: the reference's dummy particles simply
+    convect at the set velocity toward the inlet
+    (fix_isph_modify_velocity + advanceTime), which is exactly what a
+    Dirichlet band with held velocity does."""
+    ly = 1.0
+    dx = ly / n
+    buf = 12.0 * dx  # buf_inlet = buf_outlet = buf_dummy = 12 dx
+    wall = 5.0 * dx
+    lx = round(lx_over_ly / dx) * dx
+    h = 1.5 * dx
+    cut = 2.0 * h  # colloid-in-channel.xml: Wendland, cut over h = 2.0
+    xmin, xmax = -lx - 2.0 * buf, lx + buf
+    pts = _square_lattice([xmin, -ly - wall], [xmax, ly + wall], dx, 2)
+    n_real = pts.shape[0]
+    is_wall = np.abs(pts[:, 1]) > ly
+    in_colloid = (np.hypot(pts[:, 0], pts[:, 1]) < rcolloid) & ~is_wall
+    kind0 = np.where(is_wall | in_colloid, Kind.SOLID, Kind.FLUID_BIT)
+    state = make_state(
+        pts, kind=kind0.astype(np.int32), rho=rho, nu=nu,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+
+    xsta = -lx - buf  # inlet band start
+    dt = 0.05 * dx / u_in
+    t_ramp = ramp_steps * dt
+
+    def retype_bands(s: ParticleState, t) -> ParticleState:
+        # fixes 11-19: re-type every non-solid particle by its x band, and
+        # hold the feed/inlet velocity (parabolic, ramped — see ramp_steps)
+        x0, x1 = s.x[0], s.x[1]
+        mobile = ~s.is_kind(Kind.SOLID) & s.valid
+        in_chan = jnp.abs(x1) <= ly
+        dummy = mobile & in_chan & (x0 < xsta)
+        inlet = mobile & in_chan & (x0 >= xsta) & (x0 < -lx)
+        outlet = mobile & in_chan & (x0 > lx)
+        interior = mobile & in_chan & (x0 >= -lx) & (x0 <= lx)
+        kind = s.kind
+        kind = jnp.where(dummy | inlet, Kind.BUFFER_DIRICHLET, kind)
+        kind = jnp.where(outlet, Kind.BUFFER_NEUMANN, kind)
+        kind = jnp.where(interior, Kind.FLUID_BIT, kind)
+        feed = dummy | inlet
+        ramp = jnp.clip(jnp.asarray(t, s.dtype) / t_ramp, 0.0, 1.0)
+        prof = u_in * ramp * (1.0 - (x1 / ly) ** 2)
+        v = s.v.at[0].set(jnp.where(feed, prof, s.v[0]))
+        v = v.at[1].set(jnp.where(feed, 0.0, v[1]))
+        return s.replace(kind=kind.astype(jnp.int32), v=v)
+
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=dt, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(
+            theta=1.0, boundary=BoundaryCond.MORRIS_HOLMES,
+            singular_poisson=SingularPoisson.NULL_SPACE,
+            # deviation from the reference default (Enabled,
+            # pair_isph.cpp:1779): the antisymmetric momentum-preserving
+            # gradient is zeroth-order inconsistent where the velocity is
+            # externally IMPOSED mid-field (the feed band), and its error
+            # feeds back through the projection at ~20x/step (measured);
+            # the symmetric corrected gradient is consistent there and the
+            # deck runs stably to steady state
+            use_momentum_preserve_operator=False,
+        ),
+        shift=ShiftConfig(enabled=shift > 0.0, shift=shift,
+                          nonfluidweight=0.0, shiftcut=3.0 * h),
+        neighbor=_neighbor_cfg(dx, cut, 2, max_neighbors),
+    )
+    domain = Domain(lo=(xmin, -ly - wall), hi=(xmax, ly + wall),
+                    periodic=(True, False))
+    state = retype_bands(state, 0.0)
+    return Simulation(cfg=cfg, domain=domain, modifier=retype_bands), state
+
+
+# ---------------------------------------------------------------------------
+# square-concentration moving / dump-restart variants
+# (sph-script/square-concentration-{mov,dump}-2d.lmp)
+# ---------------------------------------------------------------------------
+
+def make_square_concentration_mov(
+    n: int = 36,  # deck N
+    *,
+    d0: float = 0.05,
+    rpatch: float = 0.3,  # deck rdrop
+    g: float = 1.0,  # square-concentration-mov.xml g.x
+    umax: float = 1.0,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """Advection-diffusion: the square patch rides a body-driven flow
+    (square-concentration-mov-2d.lmp + -mov.xml: Incompressible Navier
+    Stokes Enabled, g.x = 1.0) while diffusing.  Total concentration is
+    conserved and the patch centroid advects in +x."""
+    r = 0.5
+    dx = r / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    pts = _square_lattice([-r, -r], [r, r], dx, 2)
+    n_real = pts.shape[0]
+    state = make_state(
+        pts, kind=np.full(n_real, Kind.FLUID_BIT, np.int32), rho=1.0, nu=0.1,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    in_patch = np.all(np.abs(pts) < rpatch, axis=1)
+    conc = np.zeros(state.n)
+    conc[:n_real] = np.where(in_patch, 1.0, 0.0)
+    state = state.replace(conc=jnp.asarray(conc, dtype)[None, :])
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=0.1 * dx / umax, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(
+            theta=0.5, singular_poisson=SingularPoisson.NULL_SPACE,
+            g=(g, 0.0),
+        ),
+        tr=SoluteTransportConfig(enabled=True, theta=0.5, d=(d0, None, None, None)),
+        neighbor=_neighbor_cfg(dx, cut, 2),
+    )
+    domain = Domain(lo=(-r, -r), hi=(r, r), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+def make_square_concentration_dump(
+    dump_path: Optional[str] = None,
+    *,
+    frame: int = -1,
+    n: int = 36,
+    d0: float = 0.05,
+    rpatch: float = 0.3,
+    presteps: int = 10,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """Diffusion on a DISORDERED configuration restarted from a dump
+    (square-concentration-dump-2d.lmp: ``read_dump ...-mov-2d.dump 360`` then
+    transport with NS Disabled and fluid:fixed).  When ``dump_path`` is
+    given, positions/velocities load from that frame (read_dump parity via
+    io.dump.read_dump_frames); otherwise the mov deck is advanced
+    ``presteps`` steps in-process to produce the disordered cloud."""
+    if dump_path is not None:
+        from isph_tpu.io.dump import read_dump_frames
+
+        fr = read_dump_frames(dump_path)[frame]
+        cols = {c: i for i, c in enumerate(fr["columns"])}
+        pts = fr["data"][:, [cols["x"], cols["y"]]]
+        n_real = pts.shape[0]
+        state = make_state(
+            pts, kind=np.full(n_real, Kind.FLUID_BIT, np.int32), rho=1.0,
+            nu=0.1, pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+        )
+        in_patch = np.all(np.abs(pts) < rpatch, axis=1)
+        conc = np.zeros(state.n)
+        conc[:n_real] = np.where(in_patch, 1.0, 0.0)
+        state = state.replace(conc=jnp.asarray(conc, dtype)[None, :])
+        r, dx = 0.5, 0.5 / n
+    else:
+        sim0, state = make_square_concentration_mov(
+            n, d0=d0, rpatch=rpatch, dtype=dtype, pad_multiple=pad_multiple)
+        state, _ = sim0.run(state, presteps)
+        r, dx = 0.5, 0.5 / n
+    h = 1.5 * dx
+    cut = 2.0 * h
+    cfg = SimulationConfig(
+        dim=2, h=h, dt=0.2 * dx * dx / d0, dtype=str(np.dtype(dtype)),
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=2.0),
+        ns=NavierStokesConfig(enabled=False),  # fluid:fixed + NS Disabled
+        tr=SoluteTransportConfig(enabled=True, theta=0.5, d=(d0, None, None, None)),
+        neighbor=_neighbor_cfg(dx, cut, 2),
+    )
+    # freeze the particles (xml "Use Fixed Particles"): transport only
+    state = state.replace(
+        kind=jnp.where(state.valid, state.kind | Kind.FIXED, state.kind)
+        .astype(jnp.int32),
+        v=jnp.zeros_like(state.v),
+    )
+    domain = Domain(lo=(-r, -r), hi=(r, r), periodic=(True, True))
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+# ---------------------------------------------------------------------------
+# MLS operator-verification decks
+# (mls-script/poisson-operator-{2d,3d}.lmp + poisson-operator.xml,
+#  mls-script/poisson-boundary-2d.lmp)
+# ---------------------------------------------------------------------------
+
+def make_mls_poisson_operator(
+    n: int = 32,  # deck N = 64
+    *,
+    dim: int = 2,
+    xi: float = 0.05,  # displace_atoms random 0.05*h (deck :33)
+    basis_order: int = 2,
+    seed: int = 42,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """MLS Poisson operator verification cloud: periodic [0, 2pi]^dim
+    lattice randomly displaced by xi*h, v = (cos x cos y, -sin x sin y),
+    MLS backend (pair_style isph/mls).  The manufactured pressure is
+    p = sum_d cos(2 x_d) (poisson-operator.xml Analytic Solution); tests
+    apply the MLS Laplacian matrix to it and check the discrete residual
+    order (the reference's Poisson Operator Test)."""
+    from isph_tpu.config import MLSConfig
+
+    L = 2.0 * math.pi
+    dx = L / n
+    h = 1.5 * dx  # deck h = 6 dx with cut_over_h 1.0 -> cut = 6 dx; MLS
+    cut = 4.0 * dx  # weight support (mls cut = h, kernels.py MLS weight)
+    pts = _square_lattice([0.0] * dim, [L] * dim, dx, dim)
+    rng = np.random.default_rng(seed)
+    # displace_atoms random xi*h (deck h = 6 dx; support here is 4 dx —
+    # ample for the order-2 basis — so the jitter uses the deck's 6 dx)
+    pts = pts + rng.uniform(-1.0, 1.0, pts.shape) * (xi * 6.0 * dx)
+    n_real = pts.shape[0]
+    v = np.stack(
+        [np.cos(pts[:, 0]) * np.cos(pts[:, 1]),
+         -np.sin(pts[:, 0]) * np.sin(pts[:, 1])]
+        + ([np.zeros(n_real)] if dim == 3 else []), axis=-1)
+    state = make_state(
+        pts, v=v, kind=np.full(n_real, Kind.FLUID_BIT, np.int32), rho=1.0,
+        nu=0.1, pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    cfg = SimulationConfig(
+        dim=dim, h=4.0 * dx, dt=1.0, dtype=str(np.dtype(dtype)),
+        backend="mls_ale",
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=1.0),
+        mls=MLSConfig(basis_order=basis_order, bdf_order=1),
+        ns=NavierStokesConfig(theta=0.5, singular_poisson=SingularPoisson.NULL_SPACE),
+        neighbor=_neighbor_cfg(dx, 4.0 * dx, dim),
+    )
+    domain = Domain(lo=(0.0,) * dim, hi=(L,) * dim, periodic=(True,) * dim)
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+def mls_poisson_operator_exact(x: jax.Array):
+    """p = sum_d cos(2 x_d) with Laplacian -4 p (poisson-operator.xml)."""
+    p = sum(jnp.cos(2.0 * x[d]) for d in range(x.shape[0]))
+    return p, -4.0 * p
+
+
+def make_mls_poisson_boundary(
+    n: int = 32,
+    *,
+    basis_order: int = 2,
+    xi: float = 0.15,
+    seed: int = 11,
+    dtype=jnp.float64,
+    pad_multiple: int = 8,
+) -> Tuple[Simulation, ParticleState]:
+    """MLS compact-Poisson BOUNDARY verification (poisson-boundary-2d.lmp:
+    non-periodic box read from poisson-boundary-2d.data — a disordered
+    interior cloud with wall layers; generated here: jittered lattice with
+    3-row solid walls carrying outward normals).  Tests pair it with the
+    compact-Poisson boundary rows (functor_mls_helper_compact_poisson.h)."""
+    from isph_tpu.config import MLSConfig
+
+    L = 2.0 * math.pi
+    dx = L / n
+    nwall = 3
+    lo_w = -nwall * dx
+    hi_w = L + nwall * dx
+    pts = _square_lattice([lo_w, lo_w], [hi_w, hi_w], dx, 2)
+    interior = np.all((pts > 0.0) & (pts < L), axis=1)
+    rng = np.random.default_rng(seed)
+    pts = pts + np.where(interior[:, None],
+                         rng.uniform(-xi * dx, xi * dx, pts.shape), 0.0)
+    n_real = pts.shape[0]
+    kind = np.where(interior, Kind.FLUID_BIT, Kind.SOLID).astype(np.int32)
+    state = make_state(
+        pts, kind=kind, rho=1.0, nu=0.1,
+        pad_to=_round_up(n_real, pad_multiple), dtype=dtype,
+    )
+    cfg = SimulationConfig(
+        dim=2, h=4.0 * dx, dt=1.0, dtype=str(np.dtype(dtype)),
+        backend="mls_ale",
+        kernel=KernelConfig(type=KernelType.WENDLAND, cut_over_h=1.0),
+        mls=MLSConfig(basis_order=basis_order, bdf_order=1),
+        ns=NavierStokesConfig(theta=0.5,
+                              singular_poisson=SingularPoisson.NOT_SINGULAR),
+        neighbor=_neighbor_cfg(dx, 4.0 * dx, 2),
+    )
+    domain = Domain(lo=(lo_w, lo_w), hi=(hi_w, hi_w), periodic=(False, False))
+    return Simulation(cfg=cfg, domain=domain), state
+
+
+# ---------------------------------------------------------------------------
 # shift test (sph-script/shift-test-2d.lmp)
 # ---------------------------------------------------------------------------
 
@@ -998,10 +1454,25 @@ DECKS: Dict[str, Callable] = {
     # transport
     "inlet-concentration-2d": make_inlet_concentration,
     "square-concentration-fix-2d": make_square_concentration,
+    "square-concentration-mov-2d": make_square_concentration_mov,
+    "square-concentration-dump-2d": make_square_concentration_dump,
+    # multiphase pore-scale (flagship application combo)
+    "multiphase-pore-scale-flow-2d": make_multiphase_pore_scale_flow,
+    "multiphase-pore-scale-flow-3d": lambda **kw: make_multiphase_pore_scale_flow(
+        dim=3, variant="base", **kw),
+    "multiphase-pore-scale-flow-a-3d": lambda **kw: make_multiphase_pore_scale_flow(
+        dim=3, variant="a", **kw),
+    "multiphase-pore-scale-flow-b-3d": lambda **kw: make_multiphase_pore_scale_flow(
+        dim=3, variant="b", **kw),
+    # open-channel inflow/outflow machinery
+    "colloid-in-channel-2d": make_colloid_in_channel,
     # polymers
     "isph-micelle": make_micelle,
     # MLS / ALE backend
     "flow-past-cylinder-2d-mls": make_flow_past_cylinder,
+    "poisson-operator-2d": make_mls_poisson_operator,
+    "poisson-operator-3d": lambda **kw: make_mls_poisson_operator(dim=3, **kw),
+    "poisson-boundary-2d": make_mls_poisson_boundary,
 }
 
 

@@ -179,7 +179,11 @@ class Simulation:
 
         if cfg.st.enabled:
             if cfg.st.model == "csf":
-                f, _, _ = multiphase.csf_force(state, geom, pre, cfg)
+                f, _, _ = multiphase.csf_force(
+                    state, geom, pre, cfg,
+                    ignore_mask=multiphase.ignore_phase_gradient_mask(
+                        state, cfg),
+                )
             else:
                 if cfg.st.s is not None:
                     s_table = jnp.zeros((4, 4), state.dtype)

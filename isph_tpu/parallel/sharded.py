@@ -459,7 +459,10 @@ class ShardedSimulation:
                 f=fluctuation.random_stress_force(ext, geom, pre, cfg, key)
             )
         if cfg.st.enabled and cfg.st.model == "csf":
-            f, _, _ = multiphase.csf_force(ext, geom, pre, cfg)
+            f, _, _ = multiphase.csf_force(
+                ext, geom, pre, cfg,
+                ignore_mask=multiphase.ignore_phase_gradient_mask(ext, cfg),
+            )
             ext = ext.replace(f=f)
 
         # ---- Helmholtz (momentum predictor) ------------------------------

@@ -145,6 +145,20 @@ def adami_curvature(
     return kappa * ((mag > _EPS) & filt.row(state.kind)).astype(dtype)
 
 
+def ignore_phase_gradient_mask(state: ParticleState, cfg: SimulationConfig):
+    """(N,) bool mask of particles whose color gradient is zeroed — the
+    band |x[axis] - point| < cut * thres_over_cut around a prescribed plane
+    (FixISPH_IgnorePhaseGradient::ignorePhaseGradient,
+    fix_isph_ignore_phase_gradient.cpp:94-113; used at the phase-injection
+    buffer of the multiphase-pore-scale decks).  Returns None when the fix
+    is not configured."""
+    st = cfg.st
+    if st.ignore_axis < 0:
+        return None
+    band = cfg.cut * st.ignore_thres_over_cut
+    return jnp.abs(state.x[st.ignore_axis] - st.ignore_point) < band
+
+
 def csf_force(
     state: ParticleState,
     geom: PairGeom,

@@ -366,3 +366,155 @@ def test_colloid_corner_periodic_images():
         state, aux = step(state)
     assert np.isfinite(np.asarray(state.v)).all()
     np.testing.assert_allclose(np.asarray(state.v)[:, solid], 0.0, atol=1e-12)
+
+
+# --- multiphase pore-scale flow (the flagship application combo) ------------
+
+def test_multiphase_pore_scale_percolates_2d():
+    """CSF multiphase + carved porous beads + phase injection running
+    TOGETHER (multiphase-pore-scale-flow-2d.lmp): the injected phase grows
+    and is transported out of the buffer band through the pore space."""
+    # reference defaults are SI (rho ~ 1e3, nu ~ 9e-7, g = 9.8): essentially
+    # inviscid at test resolution, so the smoke run uses a gentler viscous
+    # regime with the same geometry/physics pipeline
+    sim, state = decks.make_multiphase_pore_scale_flow(
+        16, g=1.0, rho=1.0, nu=2e-4, alpha=1e-4)
+    solid0 = np.asarray(state.is_solid & state.valid)
+    assert solid0.sum() > 0  # walls + beads carved
+    assert int(np.asarray((state.phase == 1) & state.valid).sum()) == 0
+    state, aux = _run(sim, state, 5)
+    assert np.isfinite(float(aux.status.vmax))
+    fl = np.asarray(state.is_fluid & state.valid)
+    ph1 = np.asarray((state.phase == 1)) & fl
+    assert ph1.sum() > 0  # injection band converted fluid
+    # gravity (+y) transports injected phase beyond the band
+    bufmax = -0.01 + 0.7e-3 + 2.0e-3
+    assert float(np.asarray(state.x[1])[ph1].max()) > bufmax
+    # driven along +y on average
+    assert float(np.asarray(state.v[1])[fl].mean()) > 0.0
+
+
+@pytest.mark.parametrize("variant", ["base", "a"])
+def test_multiphase_pore_scale_3d_steps(variant):
+    sim, state = decks.make_multiphase_pore_scale_flow(
+        10, dim=3, variant=variant, nbeads=2, g=1.0, rho=1.0, nu=2e-4,
+        alpha=1e-4)
+    state, aux = _run(sim, state, 2)
+    assert np.isfinite(float(aux.status.vmax))
+    fl = np.asarray(state.is_fluid & state.valid)
+    ph1 = np.asarray(state.phase == 1) & fl
+    assert ph1.sum() > 0
+
+
+# --- colloid-in-channel: inflow/outflow buffer machinery --------------------
+
+def test_colloid_in_channel_fluxes():
+    """Inlet-driven open channel (colloid-in-channel-2d.lmp): after a few
+    steps the interior fluid moves in +x, fed by the Dirichlet inlet."""
+    sim, state = decks.make_colloid_in_channel(12, ramp_steps=6)
+    state, aux = _run(sim, state, 12)
+    assert float(aux.status.vmax) < 3.0  # stable (no pressure-impulse blowup)
+    interior = np.asarray(state.is_kind(Kind.FLUID_BIT) & state.valid)
+    assert interior.sum() > 0
+    assert float(np.asarray(state.v[0])[interior].mean()) > 0.05
+
+
+# --- square-concentration mov/dump variants ---------------------------------
+
+def test_square_concentration_mov_advects_and_conserves():
+    sim, state = decks.make_square_concentration_mov(20)
+    tot0 = float(np.asarray(state.conc[0])[np.asarray(state.valid)].sum())
+    cx0 = float((np.asarray(state.conc[0]) * np.asarray(state.x[0]))
+                [np.asarray(state.valid)].sum()) / tot0
+    state, aux = _run(sim, state, 8)
+    v = np.asarray(state.valid)
+    tot1 = float(np.asarray(state.conc[0])[v].sum())
+    assert abs(tot1 - tot0) < 1e-6 * tot0  # conservative transport
+    # the patch rides the g.x-driven flow: mean fluid velocity > 0 and the
+    # concentration-weighted centroid has advected
+    assert float(np.asarray(state.v[0])[v].mean()) > 0.0
+    cx1 = float((np.asarray(state.conc[0]) * np.asarray(state.x[0]))[v].sum()) / tot1
+    assert cx1 > cx0
+
+
+def test_square_concentration_dump_restart(tmp_path):
+    """read_dump parity (square-concentration-dump-2d.lmp): dump a moved
+    configuration, reload it, and diffuse on the frozen disordered cloud."""
+    from isph_tpu.io.dump import write_dump
+
+    simm, stm = decks.make_square_concentration_mov(16)
+    stm, _ = _run(simm, stm, 4)
+    p = tmp_path / "mov.dump"
+    with open(p, "w") as f:
+        write_dump(f, stm, simm.domain, 4, ("id", "type", "x", "y", "z",
+                                            "vx", "vy", "pressure"))
+    sim, state = decks.make_square_concentration_dump(str(p), n=16)
+    # frozen particles: positions must not move while c diffuses
+    x0 = np.asarray(state.x).copy()
+    c0 = np.asarray(state.conc[0]).copy()
+    state, aux = _run(sim, state, 3)
+    v = np.asarray(state.valid)
+    np.testing.assert_allclose(np.asarray(state.x)[:, v], x0[:, v], atol=1e-12)
+    c1 = np.asarray(state.conc[0])
+    assert abs(c1[v].sum() - c0[v].sum()) < 1e-8 * max(c0[v].sum(), 1.0)
+    assert c1[v].max() < c0[v].max()  # peak decays under diffusion
+
+
+# --- MLS poisson-operator / poisson-boundary verification decks -------------
+
+def test_mls_poisson_operator_deck_residual():
+    """poisson-operator-2d.lmp parity: the MLS Laplacian matrix applied to
+    the manufactured p = cos(2x)+cos(2y) must reproduce -4p with an error
+    that REDUCES under refinement (the reference's Poisson Operator Test)."""
+    from isph_tpu.ops import mls
+    from isph_tpu.ops.corrected import PairFilter
+
+    errs = []
+    for n in (16, 32):
+        sim, state = decks.make_mls_poisson_operator(n)
+        nbrs = jax.jit(sim.neighbors)(state)
+        assert int(nbrs.overflow) == 0
+        geom = jax.jit(sim.geometry)(state, nbrs)
+        rth = sim.cfg.h  # MLS support = h (cut_over_h = 1)
+        basis = mls.MLSBasis(dim=2, order=sim.cfg.mls.basis_order)
+        filt = PairFilter(Kind.FLUID, Kind.ALL)
+        Minv = mls.mass_matrix_inverse(basis, geom, rth, state.kind, filt)
+        p, lap_exact = decks.mls_poisson_operator_exact(state.x)
+        A = mls.operator_matrix(basis, geom, rth, state.kind, filt, Minv,
+                                betas=[(2, 0, 0), (0, 2, 0)])
+        v = np.asarray(state.valid)
+        err = np.abs(np.asarray(A.matvec(p) - lap_exact))[v].max()
+        errs.append(err)
+    assert errs[1] < 0.6 * errs[0]  # refinement reduces the residual
+    # order-2 basis at support 4dx with 0.3dx jitter: ~5% of the |lap|=8
+    # scale at n=32 (the convergence RATIO above is the real assertion)
+    assert errs[1] < 0.08 * 8.0
+
+
+def test_mls_poisson_boundary_deck_operator_converges():
+    """poisson-boundary-2d.lmp parity: the MLS Laplacian on the DISORDERED
+    non-periodic cloud with wall layers (one-sided stencils near the
+    boundary, wall columns carrying exact values) must reproduce the
+    manufactured Laplacian with an error that reduces under refinement —
+    the reference's boundary-operator verification (its .m companion
+    post-processes exactly this residual)."""
+    from isph_tpu.ops import mls
+    from isph_tpu.ops.corrected import PairFilter
+
+    errs = []
+    for n in (14, 28):
+        sim, state = decks.make_mls_poisson_boundary(n)
+        nbrs = jax.jit(sim.neighbors)(state)
+        assert int(nbrs.overflow) == 0
+        geom = jax.jit(sim.geometry)(state, nbrs)
+        rth = sim.cfg.h
+        basis = mls.MLSBasis(dim=2, order=sim.cfg.mls.basis_order)
+        filt = PairFilter(Kind.FLUID, Kind.ALL)
+        Minv = mls.mass_matrix_inverse(basis, geom, rth, state.kind, filt)
+        p_exact, lap_exact = decks.mls_poisson_operator_exact(state.x)
+        A = mls.operator_matrix(basis, geom, rth, state.kind, filt, Minv,
+                                betas=[(2, 0, 0), (0, 2, 0)])
+        fl = np.asarray(state.is_fluid & state.valid)
+        errs.append(np.abs(np.asarray(A.matvec(p_exact) - lap_exact))[fl].max())
+    assert errs[1] < 0.6 * errs[0]  # boundary stencils still converge
+    assert errs[1] < 0.1 * 8.0  # within 10% of the |lap| scale
