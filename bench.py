@@ -287,6 +287,34 @@ def bench_poisson_solve(n_lattice, precond, tol=1e-6):
         n_lattice, dtype=jnp.float32, max_neighbors=32, pad_multiple=128,
         gather_chunks=gc,
     )
+    return _poisson_solve_timed(sim, state, precond, tol, n_lattice)
+
+
+def bench_poisson_solve_3d(n_lattice=24, precond="jacobi", tol=1e-6):
+    """3-D solve-to-tolerance row (VERDICT r4 #7): the hopper quintic
+    configuration's pressure Poisson at K=392."""
+    from isph_tpu.models.decks import build_deck
+
+    sim, state = build_deck(
+        "taylor-green-vortex-3d", n=n_lattice, max_neighbors=392,
+        dtype=jnp.float32, pad_multiple=128, gather_chunks=0,
+    )
+    nb0 = jax.jit(sim.neighbors)(state)
+    assert int(nb0.overflow) == 0
+    mc = _measure_plan_widths(nb0.idx)
+    sim, state = build_deck(
+        "taylor-green-vortex-3d", n=n_lattice, max_neighbors=392,
+        dtype=jnp.float32, pad_multiple=128, gather_chunks=mc,
+    )
+    return _poisson_solve_timed(sim, state, precond, tol, f"3d{n_lattice}")
+
+
+def _poisson_solve_timed(sim, state, precond, tol, tag):
+    from isph_tpu.physics import ns_projection as ns_mod
+    from isph_tpu.solvers.krylov import gmres as gmres_fn
+    from isph_tpu.solvers.precond import jacobi as jacobi_fn
+    from isph_tpu.solvers.amg import build_amg
+
     cfg = sim.cfg
     nbrs = jax.jit(sim.neighbors)(state)
     assert int(nbrs.overflow) == 0
@@ -338,19 +366,49 @@ def bench_poisson_solve(n_lattice, precond, tol=1e-6):
     # MEDIAN of positive slopes: the min can be jitter-deflated through the
     # tunnel (observed a 220-iteration solve "measured" at 0.9 ms)
     best = float(np.median(slopes)) if slopes else float("inf")
-    _log(f"poisson[{n_lattice},{precond}]: {best*1e3:.2f} ms iters={it} "
+    _log(f"poisson[{tag},{precond}]: {best*1e3:.2f} ms iters={it} "
          f"relres={rr:.1e}")
     return best, it, rr
 
 
+def _measure_plan_widths(idx, margin=1):
+    """Per-8-slot-group ragged plan widths measured from an actual neighbor
+    list (max distinct 128-chunks per (tile, group) + drift margin) — at 3-D
+    K=392 this is Sigma~240 passes vs uniform 8's 392."""
+    idx = np.asarray(idx)
+    K, n = idx.shape
+    cids = idx // 128
+    ng, ntiles = K // 8, n // 128
+    per = (cids.reshape(ng, 8, ntiles, 128).transpose(2, 0, 1, 3)
+           .reshape(ntiles * ng, 8 * 128))
+    srt = np.sort(per, axis=1)
+    nu = 1 + (srt[:, 1:] != srt[:, :-1]).sum(axis=1)
+    mx = nu.reshape(ntiles, ng).max(axis=0)
+    return tuple(int(m) + margin for m in mx)
+
+
 def bench_tgv3d_step(n=24, s1=1, s2=3):
-    """3-D hopper configuration step (quintic cut=3h, ~390 slots)."""
+    """3-D hopper configuration step (quintic cut=3h; K=392 covers the
+    measured 388-neighbor stencil).  r5: half-cut binning + 2-stage top_k
+    (ops/neighbors.py) + measured ragged plan widths."""
     from isph_tpu.models.decks import build_deck
 
     sim, state = build_deck(
-        "taylor-green-vortex-3d", n=n, max_neighbors=400,
-        dtype=jnp.float32, pad_multiple=128, gather_chunks=8,
+        "taylor-green-vortex-3d", n=n, max_neighbors=392,
+        dtype=jnp.float32, pad_multiple=128, gather_chunks=0,
     )
+    nb0 = jax.jit(sim.neighbors)(state)
+    assert int(nb0.overflow) == 0
+    mc = _measure_plan_widths(nb0.idx)
+    _log(f"tgv3d: ragged plan widths sum={sum(mc)} (uniform 8 = {len(mc)*8})")
+    sim, state = build_deck(
+        "taylor-green-vortex-3d", n=n, max_neighbors=392,
+        dtype=jnp.float32, pad_multiple=128, gather_chunks=mc,
+    )
+    import dataclasses as _dc
+    sim = _dc.replace(sim, cfg=sim.cfg.replace(
+        solver=_dc.replace(sim.cfg.solver, precond="jacobi")))
+    state = sim.prepare(state)
 
     def mk(steps):
         @jax.jit
@@ -569,9 +627,21 @@ def _run_benches(small: bool) -> str:
             extras["tgv3d24_step_seconds"] = t3
             extras["tgv3d24_particles"] = n3
             extras["tgv3d24_vmax"] = vm3
+            extras["tgv3d24_particle_steps_per_s"] = n3 / t3
         except Exception as e:
             extras["tgv3d_error"] = f"{type(e).__name__}"
             _log(f"tgv3d bench failed: {e}")
+        # ---- 3-D solve-to-tolerance (VERDICT r4 #7) ----------------------
+        try:
+            tj3, itj3, _ = bench_poisson_solve_3d(precond="jacobi")
+            ta3, ita3, _ = bench_poisson_solve_3d(precond="amg")
+            extras["poisson3d24_ms_rtol1e6_jacobi"] = tj3 * 1e3
+            extras["poisson3d24_iters_jacobi"] = itj3
+            extras["poisson3d24_ms_rtol1e6_amg"] = ta3 * 1e3
+            extras["poisson3d24_iters_amg"] = ita3
+        except Exception as e:
+            extras["poisson3d_error"] = f"{type(e).__name__}"
+            _log(f"poisson3d bench failed: {e}")
         # ---- live f32-TPU golden + 1-device shard_map overhead -----------
         try:
             extras["tgv16_f32_perr_3steps"] = bench_f32_golden()

@@ -182,6 +182,10 @@ class NeighborConfig:
 
     max_neighbors: int = 64  # K: padded neighbor width
     cell_capacity: int = 32  # max particles per cell bin
+    # search cells of width >= cutoff/cell_subdiv (half-cut binning at 2):
+    # finer cells sweep more offsets but a much tighter candidate superset —
+    # the right default for 3-D wide stencils (quintic cut=3h)
+    cell_subdiv: int = 1
     gather_chunks: object = 0  # truthy: build a pallas windowed-gather plan
     # truthy (lanes, multiple of 128): convert the plan to the HBM-streaming
     # band-window form for N beyond the VMEM-resident-x limit (~256k/chip)

@@ -76,6 +76,7 @@ class Simulation:
             gather_chunks=gc if gc else None,
             stream_window=self.cfg.neighbor.stream_window,
             stream_subcap=self.cfg.neighbor.stream_subcap,
+            cell_subdiv=self.cfg.neighbor.cell_subdiv,
         )
 
     def geometry(self, state: ParticleState, nbrs: NeighborList) -> PairGeom:

@@ -96,6 +96,17 @@ def make_tgv(
     )
 
     cut_over_h = 3.0 if kernel == KernelType.QUINTIC else 2.0
+    domain = Domain(lo=(0.0,) * dim, hi=(L,) * dim, periodic=(True,) * dim)
+    # 3-D wide stencils: half-cut cells + the tight lattice bucket bound
+    # (see _cell_grid) — at 24^3 quintic this cuts the candidate width
+    # 9261 -> ~4000 and the neighbor build ~9x with the 2-stage top_k
+    subdiv = 2 if (dim == 3 and cut_over_h * h / dx > 3.0) else 1
+    if subdiv > 1:
+        from isph_tpu.ops.neighbors import lattice_cell_capacity
+
+        cap = lattice_cell_capacity(domain, cut_over_h * h, dx, subdiv=subdiv)
+    else:
+        cap = _cell_cap(dx, cut_over_h * h, dim)
     cfg = SimulationConfig(
         dim=dim,
         h=h,
@@ -109,10 +120,10 @@ def make_tgv(
         ),
         shift=ShiftConfig(enabled=shift > 0.0, shift=shift),
         neighbor=NeighborConfig(max_neighbors=max_neighbors,
-                                cell_capacity=_cell_cap(dx, cut_over_h * h, dim),
-                                gather_chunks=gather_chunks),
+                                cell_capacity=cap,
+                                gather_chunks=gather_chunks,
+                                cell_subdiv=subdiv),
     )
-    domain = Domain(lo=(0.0,) * dim, hi=(L,) * dim, periodic=(True,) * dim)
     return Simulation(cfg=cfg, domain=domain), state
 
 

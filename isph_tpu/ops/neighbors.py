@@ -107,15 +107,38 @@ class PairGeom:
 _R_EPS = 1.0e-24
 
 
-def _cell_grid(domain: Domain, cutoff: float) -> Tuple[Tuple[int, ...], Tuple[float, ...]]:
-    """Static cell grid: >=1 cell per axis, cell size >= cutoff."""
+def _cell_grid(domain: Domain, cutoff: float, subdiv: int = 1,
+               ) -> Tuple[Tuple[int, ...], Tuple[float, ...]]:
+    """Static cell grid: >=1 cell per axis, cell size >= cutoff/subdiv.
+
+    ``subdiv`` > 1 builds FINER cells (the classic half-cut binning): the
+    search sweeps (2*ceil(cutoff/csize)+1)^D offsets instead of 3^D, but the
+    candidate superset shrinks toward the true cutoff ball — in 3-D at
+    cut = 4.5 dx, subdiv=2 cuts the candidate width from 27*343 = 9261 to
+    125*32 = 4000, which is what the top_k compaction's cost follows."""
     ncell = []
     csize = []
     for ln in domain.length:
-        nc = max(1, int(math.floor(ln / cutoff)))
+        nc = max(1, int(math.floor(ln * subdiv / cutoff)))
         ncell.append(nc)
         csize.append(ln / nc)
     return tuple(ncell), tuple(csize)
+
+
+def lattice_cell_capacity(domain: Domain, cutoff: float, dx: float, *,
+                          subdiv: int = 1, slack: float = 1.25) -> int:
+    """Tight per-cell bucket bound for ~lattice-spaced particles: the actual
+    cell sizes of :func:`_cell_grid` (not the cutoff) bound the occupancy —
+    a width-cs window holds at most ceil(cs/dx) lattice planes per axis.
+    ``slack`` is a GLOBAL factor (a per-axis +1 cubes to 2.4x in 3-D, which
+    multiplied straight into the candidate width).  Rounded up to a multiple
+    of 8; overflow detection still guards drift."""
+    _, csize = _cell_grid(domain, cutoff, subdiv)
+    cap = 1.0
+    for cs in csize:
+        cap *= math.ceil(cs / dx)
+    cap = int(math.ceil(cap * slack))
+    return max(8, -(-cap // 8) * 8)
 
 
 def build_neighbor_list(
@@ -128,6 +151,7 @@ def build_neighbor_list(
     gather_chunks: Optional[int] = None,
     stream_window: int = 0,
     stream_subcap: int = 64,
+    cell_subdiv: int = 1,
 ) -> NeighborList:
     """Cell-list neighbor search with static shapes.
 
@@ -139,7 +163,7 @@ def build_neighbor_list(
     dim, n = x.shape
     K = max_neighbors
     cap = cell_capacity
-    ncell, csize = _cell_grid(domain, cutoff)
+    ncell, csize = _cell_grid(domain, cutoff, cell_subdiv)
     ncells = int(np.prod(ncell))
 
     xw = domain.wrap(x)
@@ -188,19 +212,20 @@ def build_neighbor_list(
     # candidate-major layout: each offset contributes contiguous (N, cap)
     # blocks, and the top_k compaction below runs on the (last) candidate
     # axis natively.
-    # Periodic axes with < 3 cells must NOT use all three offsets: with
-    # ncell == 2 the offsets -1 and +1 wrap to the SAME cell and every
-    # neighbor there would be listed twice (duplicate pairs => double-counted
-    # operator contributions + spurious overflow; hit by small 3-D boxes
-    # where cut ~ L/2).
+    # Per-axis reach = cells needed to cover the cutoff (1 for cut-wide
+    # cells; ``cell_subdiv`` makes it larger).  Periodic axes with too few
+    # cells must NOT sweep the full range: offsets that wrap onto the SAME
+    # cell would list every neighbor there twice (duplicate pairs =>
+    # double-counted operator contributions + spurious overflow; hit by
+    # small 3-D boxes where cut ~ L/2) — sweep each cell exactly once.
     axis_offs = []
     for d in range(dim):
-        if domain.periodic[d] and ncell[d] == 1:
-            axis_offs.append(np.array([0]))
-        elif domain.periodic[d] and ncell[d] == 2:
-            axis_offs.append(np.array([-1, 0]))
+        reach = int(math.ceil(cutoff / csize[d] - 1e-9))
+        if domain.periodic[d] and ncell[d] <= 2 * reach:
+            base = -(ncell[d] // 2)
+            axis_offs.append(np.arange(base, base + ncell[d]))
         else:
-            axis_offs.append(np.array([-1, 0, 1]))
+            axis_offs.append(np.arange(-reach, reach + 1))
     offsets = np.array(
         np.meshgrid(*axis_offs, indexing="ij")
     ).reshape(dim, -1).T  # (<=3^D, D)
@@ -248,7 +273,22 @@ def build_neighbor_list(
     # take_along_axis pass and no (C, N) full sort (measured ~42 ms at
     # N=16k vs ~2 ms for top_k).
     sort_key = jnp.where(good, cand, jnp.asarray(n, jnp.int32))
-    negtop, _ = jax.lax.top_k(-sort_key, K)  # (N, K), ascending sort_key
+    # TWO-STAGE top_k for wide candidate sets (r5: XLA's top_k lowers to a
+    # full per-row sort whose cost is superlinear in the row width — 400 of
+    # 9261 measured 133 ms at N=13.8k on v5e vs 2.4 ms for 400 of 1024).
+    # Exact: any global K-smallest element is among its chunk's K-smallest.
+    C = sort_key.shape[1]
+    W1 = 1024
+    if C > 2 * W1 and K < W1:
+        nch = -(-C // W1)
+        padw = nch * W1 - C
+        if padw:
+            sort_key = jnp.concatenate(
+                [sort_key, jnp.full((n, padw), n, jnp.int32)], axis=1)
+        part, _ = jax.lax.top_k(-sort_key.reshape(n, nch, W1), K)
+        negtop, _ = jax.lax.top_k(part.reshape(n, nch * K), K)
+    else:
+        negtop, _ = jax.lax.top_k(-sort_key, K)  # (N, K), ascending sort_key
     mask_nk = negtop > -n
     idx_nk = jnp.where(mask_nk, -negtop, 0)
     idx = idx_nk.T.astype(jnp.int32)  # (K, N)

@@ -286,8 +286,9 @@ class ShardedSimulation:
         from isph_tpu.ops.neighbors import _cell_grid
 
         cut = self.cfg.cut
-        _, csize_l = _cell_grid(self.local_domain(), cut)
-        _, csize_g = _cell_grid(self.sim.domain, cut)
+        sd = self.cfg.neighbor.cell_subdiv
+        _, csize_l = _cell_grid(self.local_domain(), cut, sd)
+        _, csize_g = _cell_grid(self.sim.domain, cut, sd)
         ratio = 1.0
         for a, b in zip(csize_l, csize_g):
             ratio *= a / b
@@ -363,6 +364,7 @@ class ShardedSimulation:
             x_local, valid_ext, ldom, cfg.cut,
             cfg.neighbor.max_neighbors, cap,
             gather_chunks=self.gather_chunks,
+            cell_subdiv=cfg.neighbor.cell_subdiv,
         )
         kern = get_kernel(cfg.kernel.type)
         geom = compute_pair_geometry(x_local, nbrs, ldom, kern, cfg.h)

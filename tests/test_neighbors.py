@@ -128,3 +128,36 @@ def test_overflow_regrow_policy():
     np.testing.assert_allclose(
         np.asarray(state2.p), np.asarray(ref.p), atol=1e-10
     )
+
+
+def test_cell_subdiv_matches_reference_build():
+    """Half-cut binning (cell_subdiv=2) + the 2-stage top_k compaction must
+    produce EXACTLY the neighbor sets of the cut-wide build, including on a
+    3-D quintic-width stencil and near periodic wrap-dedup edge cases."""
+    import numpy as np
+    from isph_tpu.ops.neighbors import build_neighbor_list, lattice_cell_capacity
+    from isph_tpu.state import Domain
+
+    rng = np.random.default_rng(4)
+    n_side = 10
+    L = 1.0
+    dx = L / n_side
+    pts = (np.stack(np.meshgrid(*[np.arange(n_side)] * 3, indexing="ij"), -1)
+           .reshape(-1, 3) + 0.5) * dx
+    pts += rng.uniform(-0.2, 0.2, pts.shape) * dx
+    x = jnp.asarray(np.mod(pts, L).T)
+    n = x.shape[1]
+    valid = jnp.ones((n,), bool)
+    dom = Domain(lo=(0.0,) * 3, hi=(L,) * 3, periodic=(True,) * 3)
+    cut = 4.5 * dx
+    K = 432
+    ref = build_neighbor_list(x, valid, dom, cut, K, 512)
+    assert int(ref.overflow) == 0
+    cap2 = lattice_cell_capacity(dom, cut, dx, subdiv=2)
+    sub = build_neighbor_list(x, valid, dom, cut, K, cap2, cell_subdiv=2)
+    assert int(sub.overflow) == 0
+    # same sets: both compactions emit ascending column order
+    np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(sub.count))
+    mr = np.asarray(ref.mask)
+    np.testing.assert_array_equal(np.asarray(ref.idx)[mr],
+                                  np.asarray(sub.idx)[np.asarray(sub.mask)])
