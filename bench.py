@@ -93,7 +93,8 @@ def bench_spmv(n_lattice=256, max_neighbors=32, n1=200, n2=2400):
     # tunnel latency cancels exactly; (b) the runtime can memoize repeat
     # executions, so every timed run uses a FRESH host-built input and is
     # synced by a host transfer of a scalar reduction (float()); (c) the
-    # minimum over reps filters tunnel queue jitter.
+    # MEDIAN over positive-slope reps filters tunnel queue jitter in both
+    # directions (min-picks can be deflated and overstate throughput).
     f1, f2 = many_matvec(n1), many_matvec(n2)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(state.n), jnp.float32)
@@ -101,11 +102,12 @@ def bench_spmv(n_lattice=256, max_neighbors=32, n1=200, n2=2400):
     float(f2(A, x).sum())  # warmup/compile
 
     def slope_time(mk_input, per_unit):
-        """min over reps of the two-point slope, POSITIVE slopes only —
+        """MEDIAN over reps of the two-point slope, POSITIVE slopes only —
         tunnel-latency jitter between the two legs can exceed the short
-        leg's work and produce garbage (even negative) slopes."""
-        best = float("inf")
-        good = 0
+        leg's work and produce garbage slopes in BOTH directions (negative,
+        or deflated long legs that INFLATE throughput: a min-based pick
+        once reported 58 Gnnz/s where the repeated median is ~46 — r5)."""
+        slopes = []
         for rep in range(8):
             a = mk_input(rep)
             jax.block_until_ready(a)
@@ -116,18 +118,17 @@ def bench_spmv(n_lattice=256, max_neighbors=32, n1=200, n2=2400):
             t2 = time.perf_counter()
             s = ((t2 - t1) - (t1 - t0)) / per_unit
             if s > 0:
-                best = min(best, s)
-                good += 1
-                if good >= 4:
+                slopes.append(s)
+                if len(slopes) >= 5:
                     break
-        if best == float("inf"):
+        if not slopes:
             # degenerate tunnel behavior: report the long leg inclusive of
             # the fixed round trip (an upper bound, never negative)
             a = mk_input(99)
             t0 = time.perf_counter()
             float(f2(A, a).sum())
-            best = (time.perf_counter() - t0) / n2
-        return best
+            return (time.perf_counter() - t0) / n2
+        return float(np.median(slopes))
 
     dt = slope_time(
         lambda r: jnp.asarray(
@@ -231,8 +232,7 @@ def bench_spmv_streaming(n_lattice=1024, window=3072, n1=20, n2=120,
     err = float(jnp.abs(y_pl - y_ref).max() / jnp.abs(y_ref).max())
     assert err < 1e-5, f"streaming spmv mismatch {err}"
     float(f1(*args, x).sum()); float(f2(*args, x).sum())
-    best = float("inf")
-    good = 0
+    slopes = []
     for rep in range(8):
         a = jnp.asarray(np.random.default_rng(rep).standard_normal(state.n),
                         jnp.float32)
@@ -242,9 +242,10 @@ def bench_spmv_streaming(n_lattice=1024, window=3072, n1=20, n2=120,
         t2 = time.perf_counter()
         sl = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
         if sl > 0:
-            best = min(best, sl); good += 1
-            if good >= 3:
+            slopes.append(sl)
+            if len(slopes) >= 4:
                 break
+    best = float(np.median(slopes)) if slopes else float("inf")
     nnz = float(np.asarray(geom.mask).sum() + state.n)
     _log(f"spmv-stream: {best*1e6:.1f} us/matvec {nnz/best/1e9:.1f} Gnnz/s")
 
@@ -253,8 +254,7 @@ def bench_spmv_streaming(n_lattice=1024, window=3072, n1=20, n2=120,
     # so per-RHS cost drops well below the single-RHS floor
     xm = jnp.stack([x, x * 0.5 + 1.0])
     float(f1(*args, xm).sum()); float(f2(*args, xm).sum())
-    bestm = float("inf")
-    good = 0
+    slopes_m = []
     for rep in range(8):
         a = jnp.asarray(np.random.default_rng(50 + rep)
                         .standard_normal((2, state.n)), jnp.float32)
@@ -264,9 +264,10 @@ def bench_spmv_streaming(n_lattice=1024, window=3072, n1=20, n2=120,
         t2 = time.perf_counter()
         sl = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
         if sl > 0:
-            bestm = min(bestm, sl); good += 1
-            if good >= 3:
+            slopes_m.append(sl)
+            if len(slopes_m) >= 4:
                 break
+    bestm = float(np.median(slopes_m)) if slopes_m else float("inf")
     _log(f"spmv-stream 2-RHS: {bestm*1e6:.1f} us/matvec "
          f"{2*nnz/bestm/1e9:.1f} Gnnz/s")
     return nnz / best, nnz, state.n, 2.0 * nnz / bestm
@@ -422,7 +423,7 @@ def bench_tgv3d_step(n=24, s1=1, s2=3):
     f1, f2 = mk(s1), mk(s2)
     out, vmax = f2(state); float(out.x.sum())
     out, _ = f1(state); float(out.x.sum())
-    best = float("inf")
+    slopes = []
     for rep in range(1, 6):
         st = state.replace(v=state.v * (1.0 + 1e-4 * rep))
         float(st.v.sum())
@@ -431,7 +432,8 @@ def bench_tgv3d_step(n=24, s1=1, s2=3):
         t2 = time.perf_counter()
         sl = ((t2 - t1) - (t1 - t0)) / (s2 - s1)
         if sl > 0:
-            best = min(best, sl)
+            slopes.append(sl)
+    best = float(np.median(slopes)) if slopes else float("inf")
     vm = float(np.asarray(vmax)[-1])
     _log(f"tgv3d[{n}]: {best:.3f} s/step vmax={vm:.4f}")
     assert np.isfinite(vm)
@@ -487,8 +489,8 @@ def bench_sharded_overhead(n_lattice=128, precond="jacobi"):
         return st
 
     run(1, pstate)
-    best = float("inf")
-    for rep in range(3):
+    slopes = []
+    for rep in range(4):
         st = pstate.replace(v=pstate.v * (1.0 + 1e-4 * rep))
         jax.block_until_ready(st.v)
         t0 = time.perf_counter(); run(1, st)
@@ -496,7 +498,8 @@ def bench_sharded_overhead(n_lattice=128, precond="jacobi"):
         t2 = time.perf_counter()
         sl = ((t2 - t1) - (t1 - t0)) / 3.0
         if sl > 0:
-            best = min(best, sl)
+            slopes.append(sl)
+    best = float(np.median(slopes)) if slopes else float("inf")
     _log(f"sharded 1-dev step: {best:.4f} s")
     return best
 

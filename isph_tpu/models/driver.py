@@ -416,7 +416,16 @@ class Simulation:
                     qdt,
                 )
             step, qdt = sims[key]
-            state, aux = step(state)
+            new_state, aux = step(state)
+            if int(aux.neighbor_overflow) > 0:
+                # pairs must never be dropped silently (same policy as run();
+                # the adaptive path fails loudly instead of regrowing so the
+                # dt ladder's compiled-step cache stays coherent)
+                raise RuntimeError(
+                    "run_adaptive: neighbor/plan overflow — rebuild with "
+                    "larger neighbor shapes (Simulation.with_larger_neighbors)"
+                )
+            state = new_state
             vmax = float(aux.status.vmax)
             dt = cfl * dx / max(vmax, umin)
         return state, aux, qdt
