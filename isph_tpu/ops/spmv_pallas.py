@@ -38,10 +38,18 @@ Cost per nonzero ~ (mean chunks/group) * ~4 VPU ops + 6 B HBM (vals f32 +
 enc i16; x is reused from VMEM) — versus 12 B minimum for a
 gather-from-HBM formulation.
 
-Limits: N <= ~2M particles per chip for x to sit in VMEM (beyond that, a
-double-buffered HBM variant is needed); f32/i32 on TPU.  The pure-XLA
-fallback in ELL.matvec / PairGeom.gather keeps CPU/f64 verification paths
-intact.
+Beyond the VMEM-resident-x limit (~256k particles with the 8-sublane
+broadcast scratch), the STREAMING variant takes over (``to_streaming``):
+x stays in HBM and each grid step double-buffers a sliding band window
+[base - W, base + sub*128 + W) into VMEM (the spatially-sorted matrix is
+banded), with window-relative int32 LANE starts in SMEM — premultiplied so
+the per-pass scalar address path is a bare load (an int16 convert or *128
+multiply there measured ~40% of the kernel at 1M particles).  Measured r5:
+40.4 Gnnz/s single-RHS / 51.3 Gnnz/s 2-RHS at 1M particles, at the
+additive DMA+VPU floor of this kernel family.
+
+f32/i32 on TPU.  The pure-XLA fallback in ELL.matvec / PairGeom.gather
+keeps CPU/f64 verification paths intact.
 """
 
 from __future__ import annotations

@@ -737,6 +737,11 @@ class ShardedSimulation:
                 return A.matvec(comm.refresh(x)) * comm.ownedf
 
         if amg is not None and sc.precond == "amg":
+            # NOTE: the distributed hierarchy is rebuilt per solve (the
+            # single-device path amortizes it across steps via
+            # ParticleState.amg_cache + solver.precond_max_age; extending
+            # the cache to the sharded step needs sharded cache specs in
+            # make_step and is the one remaining AMG amortization)
             from isph_tpu.solvers.amg import build_amg
 
             x_pos, domain, cutoff = amg
