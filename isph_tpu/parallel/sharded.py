@@ -247,6 +247,13 @@ class ShardedSimulation:
     # SpMV/gathers use the fast kernel instead of XLA scalar gathers; needs
     # (n_loc + 2*halo) % 128 == 0
     gather_chunks: Optional[object] = None
+    # opt-in max-age reuse of the DISTRIBUTED AMG hierarchy (the sharded
+    # analogue of ParticleState.amg_cache + solver.precond_max_age; the
+    # single-device path caches by default).  Opt-in because a cached
+    # hierarchy changes the preconditioner — and hence the tol-level
+    # iterates — relative to a rebuild-every-solve single-device reference,
+    # which the bit-parity tests compare against.
+    amg_cache_enabled: bool = False
 
     def __post_init__(self):
         assert self.halo <= self.n_loc, (
@@ -516,6 +523,14 @@ class ShardedSimulation:
                 U=jnp.concatenate([rec.U, zpad], axis=1),
                 C=jnp.concatenate([rec.C, zpad], axis=1),
             )
+        # distributed AMG max-age reuse (opt-in, see amg_cache_enabled):
+        # rebuild condition from the REPLICATED step counter so every
+        # device takes the same cond branch (the rebuild psums)
+        amg_rebuild = None
+        if state.amg_cache is not None:
+            age = max(1, cfg.solver.precond_max_age)
+            amg_rebuild = (jnp.asarray(True) if state.step is None
+                           else (state.step % age) == 0)
         homogeneous_neumann = singular != SingularPoisson.NOT_SINGULAR
         if homogeneous_neumann:
             fluid_rows = ext.is_fluid & comm.owned
@@ -523,9 +538,10 @@ class ShardedSimulation:
                 jnp.where(fluid_rows, A_p.diag, jnp.asarray(1.0, dtype))
             )
             b_f = jnp.where(fluid_rows, b_p, 0.0)
-            pres, rec_out = self._dist_solve(
+            pres, rec_out, cache_out = self._dist_solve(
                 cfg, A_f, b_f, jnp.zeros_like(b_f), comm, null_vec=null_vec,
                 recycle=rec_in, amg=(dom.wrap(ext.x), dom, cfg.cut),
+                amg_cache=state.amg_cache, amg_rebuild=amg_rebuild,
             )
             dp = pres.x
             if pre.normal is not None:
@@ -536,10 +552,11 @@ class ShardedSimulation:
                     ownedf=comm.ownedf, axis_name=axis,
                 )
         else:
-            pres, rec_out = self._dist_solve(
+            pres, rec_out, cache_out = self._dist_solve(
                 cfg, A_p, b_p * comm.ownedf, jnp.zeros_like(b_p), comm,
                 null_vec=null_vec, recycle=rec_in,
                 amg=(dom.wrap(ext.x), dom, cfg.cut),
+                amg_cache=state.amg_cache, amg_rebuild=amg_rebuild,
             )
             dp = pres.x
         if rec_in is not None:
@@ -563,12 +580,20 @@ class ShardedSimulation:
         ext = ns_projection.advance_time(ext, geom, pre, cfg, dom)
 
         # ---- shrink back to owned slots ----------------------------------
+        # (the AMG cache is detached first — its fine leaves live on the
+        # EXTENDED axis and must pass through unsliced; the refreshed cache
+        # from the solve reattaches below)
+        new_cache = cache_out if cache_out is not None else state.amg_cache
+
         def shrink(tree):
             def leaf(f):
                 if f is None or f.ndim == 0:
                     return f
                 return f[..., :n_loc]
-            return jax.tree.map(leaf, tree, is_leaf=lambda a: a is None)
+            tree = tree.replace(amg_cache=None)
+            return jax.tree.map(
+                leaf, tree, is_leaf=lambda a: a is None
+            ).replace(amg_cache=new_cache)
 
         new_state = shrink(ext)
         shift_overflow = jnp.asarray(0, jnp.int32)
@@ -710,7 +735,7 @@ class ShardedSimulation:
 
     # ------------------------------------------------------------------
     def _dist_solve(self, cfg, A, b, x0, comm: _Comm, *, null_vec=None,
-                    recycle=None, amg=None):
+                    recycle=None, amg=None, amg_cache=None, amg_rebuild=None):
         """Owned-masked Krylov solve whose matvec imports halo columns
         before the local ELL apply (Epetra Import-in-Multiply parity).
 
@@ -736,21 +761,43 @@ class ShardedSimulation:
             def mv(x):
                 return A.matvec(comm.refresh(x)) * comm.ownedf
 
+        cache_out = None
         if amg is not None and sc.precond == "amg":
-            # NOTE: the distributed hierarchy is rebuilt per solve (the
-            # single-device path amortizes it across steps via
-            # ParticleState.amg_cache + solver.precond_max_age; extending
-            # the cache to the sharded step needs sharded cache specs in
-            # make_step and is the one remaining AMG amortization)
-            from isph_tpu.solvers.amg import build_amg
+            from isph_tpu.solvers.amg import (
+                amg_from_cache, build_amg, cache_of,
+            )
 
             x_pos, domain, cutoff = amg
-            M = build_amg(
-                A, x_pos, domain, cutoff, null_vec=null_vec,
-                exchange=comm.refresh, owned=comm.ownedf,
-                axis_name=comm.axis,
-                fine_matvec=(mv if comm.strip_rows is not None else None),
-            ).apply
+            fine_mv = mv if comm.strip_rows is not None else None
+            if amg_cache is not None:
+                # max-age reuse of the distributed hierarchy
+                # (ShardedSimulation.amg_cache_enabled; the rebuild branch
+                # runs its psums uniformly — amg_rebuild derives from the
+                # replicated step counter, so every device takes the same
+                # branch)
+                if amg_rebuild is None:
+                    amg_rebuild = jnp.asarray(True)
+
+                def _rebuild(_):
+                    return cache_of(build_amg(
+                        A, x_pos, domain, cutoff, null_vec=null_vec,
+                        exchange=comm.refresh, owned=comm.ownedf,
+                        axis_name=comm.axis, fine_matvec=fine_mv,
+                    ))
+
+                cache_out = lax.cond(amg_rebuild, _rebuild,
+                                     lambda c: c, amg_cache)
+                M = amg_from_cache(
+                    A, cache_out, null_vec=null_vec, exchange=comm.refresh,
+                    owned=comm.ownedf, axis_name=comm.axis,
+                    fine_matvec=fine_mv,
+                ).apply
+            else:
+                M = build_amg(
+                    A, x_pos, domain, cutoff, null_vec=null_vec,
+                    exchange=comm.refresh, owned=comm.ownedf,
+                    axis_name=comm.axis, fine_matvec=fine_mv,
+                ).apply
         else:
             diag_safe = jnp.where(jnp.abs(A.diag) > 0, A.diag, 1.0)
 
@@ -769,22 +816,23 @@ class ShardedSimulation:
                 tol=tol, restart=sc.restart, max_restarts=sc.max_restarts,
                 axis_name=comm.axis,
             )
-            return res, rec_out
+            return res, rec_out, cache_out
         if sc.method == "cg":
             from isph_tpu.solvers.krylov import cg
 
             return cg(mv, b, x0, M=M, tol=tol, maxiter=sc.max_iters,
-                      null_vec=null_vec, axis_name=comm.axis), None
+                      null_vec=null_vec, axis_name=comm.axis), None, cache_out
         if sc.method == "pipelined_cg":
             from isph_tpu.solvers.krylov import pipelined_cg
 
             return pipelined_cg(mv, b, x0, M=M, tol=tol, maxiter=sc.max_iters,
-                                null_vec=null_vec, axis_name=comm.axis), None
+                                null_vec=null_vec, axis_name=comm.axis), \
+                None, cache_out
         return gmres(
             mv, b, x0, M=M, tol=tol, restart=sc.restart,
             max_restarts=sc.max_restarts, null_vec=null_vec,
             axis_name=comm.axis,
-        ), None
+        ), None, cache_out
 
     # ------------------------------------------------------------------
     def _migrate(self, state: ParticleState, my_lo, my_hi):
@@ -880,6 +928,34 @@ class ShardedSimulation:
         n = state.x.shape[-1]
         dim = state.dim
         dtype = state.dtype
+        sc = self.cfg.solver
+        if (self.amg_cache_enabled and sc.precond == "amg"
+                and sc.precond_max_age > 1 and state.amg_cache is None
+                and self.cfg.backend != "mls_ale"):
+            # per-device hierarchy cache on the EXTENDED particle axis
+            # (structure matches the distributed build inside _dist_solve —
+            # same grids from the global domain, fine level on n_ext slots).
+            # Fine-axis leaves are stored GLOBALLY (n_dev * n_ext) so the
+            # shard_map in_specs split them per device; coarse leaves are
+            # replicated.
+            from isph_tpu.solvers.amg import amg_cache_zeros
+
+            n_ext = self.n_loc + 2 * self.halo
+            cache_loc = amg_cache_zeros(
+                self.cfg.neighbor.max_neighbors, n_ext, dim, dtype,
+                self.sim.domain, self.cfg.cut,
+            )
+            cache = jax.tree.map(
+                lambda lf: (jnp.zeros(lf.shape[:-1] + (self.n_dev * n_ext,),
+                                      lf.dtype)
+                            if lf.ndim > 0 and lf.shape[-1] == n_ext else lf),
+                cache_loc,
+            )
+            state = state.replace(
+                amg_cache=cache,
+                step=(state.step if state.step is not None
+                      else jnp.zeros((), jnp.int32)),
+            )
         if self.cfg.backend == "mls_ale" and state.ale_hist is None:
             from isph_tpu.physics import ale
 
@@ -982,9 +1058,14 @@ class ShardedSimulation:
         from isph_tpu.parallel.mesh import particle_sharding_spec
 
         n_tot = state.x.shape[-1]
+        # the AMG cache's fine-axis leaves live on the EXTENDED particle
+        # axis (n_dev * n_ext) — shard them like the particle leaves; the
+        # coarse-level leaves are replicated
+        n_ext_tot = self.n_dev * (self.n_loc + 2 * self.halo)
         specs = jax.tree.map(
             lambda leaf: (particle_sharding_spec(leaf, self.axis)
-                          if leaf.ndim > 0 and leaf.shape[-1] == n_tot
+                          if leaf.ndim > 0
+                          and leaf.shape[-1] in (n_tot, n_ext_tot)
                           else P()),
             state,
         )

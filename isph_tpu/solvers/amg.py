@@ -643,6 +643,7 @@ def amg_from_cache(
     exchange=None,
     owned: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    fine_matvec=None,
 ) -> AMG:
     """Assemble a V-cycle from the CURRENT fine matrix + a cached hierarchy
     (fresh fine l1-Jacobi diagonal; everything else reused)."""
@@ -664,7 +665,7 @@ def amg_from_cache(
         coarse_inv=cache.coarse_inv,
         null_vec=nh, npre=npre, npost=npost,
         exchange=exchange, ownedf=owned, axis_name=axis_name,
-        grid_shapes=cache.grid_shapes,
+        grid_shapes=cache.grid_shapes, fine_matvec=fine_matvec,
     )
 
 

@@ -383,6 +383,47 @@ def test_sharded_ale_shift_matches_single_device(mesh8):
     np.testing.assert_allclose(vs, vr, atol=1e-6)
 
 
+def test_sharded_amg_cache_runs_and_matches(mesh8):
+    """Opt-in distributed AMG max-age cache (ShardedSimulation.
+    amg_cache_enabled): 3 steps with the cached hierarchy (rebuild at step
+    0, reuse at 1-2) must stay converged and track the single-device
+    CACHED-AMG trajectory to solver tolerance (both sides share the same
+    staleness schedule, so the preconditioners differ only by the
+    distributed coarse assembly's psum ordering)."""
+    import dataclasses
+
+    sim, state = tgv.make_tgv(32, h_factor=1.6)
+    assert sim.cfg.solver.precond == "amg"
+
+    ref_state = sim.prepare(state)
+    assert ref_state.amg_cache is not None  # single-device cache active
+    step_ref = jax.jit(sim.step_fn())
+    ref_aux = None
+    for _ in range(3):
+        ref_state, ref_aux = step_ref(ref_state)
+
+    n_dev, n_loc = 8, 192
+    ssim = ShardedSimulation(sim=sim, mesh=mesh8, n_loc=n_loc, halo=192,
+                             migrate_cap=32, amg_cache_enabled=True)
+    pstate = ssim.prepare(partition_state(state, sim.domain, n_dev, n_loc))
+    assert pstate.amg_cache is not None
+    step = jax.jit(ssim.make_step(pstate))
+    aux = None
+    for _ in range(3):
+        pstate, aux = step(pstate)
+    assert int(aux.neighbor_overflow) == 0
+    assert float(aux.poisson_relres) < 1e-6  # stale hierarchy still converges
+    ke_s = float(aux.status.kinetic_energy)
+    ke_r = float(ref_aux.status.kinetic_energy)
+    assert abs(ke_s - ke_r) < 1e-6 * max(abs(ke_r), 1e-30), (ke_s, ke_r)
+    ms, mr = np.asarray(pstate.valid), np.asarray(ref_state.valid)
+    (vs,) = _sorted_by_pos(np.asarray(pstate.x)[:, ms],
+                           np.asarray(pstate.v)[:, ms])
+    (vr,) = _sorted_by_pos(np.asarray(ref_state.x)[:, mr],
+                           np.asarray(ref_state.v)[:, mr])
+    np.testing.assert_allclose(vs, vr, atol=1e-6)
+
+
 def test_sharded_qeq_matches_single_device():
     """Distributed QEq dual CG (reference fix_qeq_reax.cpp:883-1073: halo
     forward-comm per sparse_matvec + allreduce dots) over a 2-slab mesh of
