@@ -494,3 +494,35 @@ def test_sharded_qeq_matches_single_device():
     or_ = lexkey(np.mod(grid.T, L))  # partition_state wraps coordinates
     np.testing.assert_allclose(
         np.asarray(q_sh)[vs][os_], np.asarray(ref.state.q)[or_], atol=1e-7)
+
+
+def test_repartition_rebalances_overloaded_slab():
+    """choose_n_loc + repartition (VERDICT r4 weak #8): an overloaded slab
+    fails partition_state loudly with the fix spelled out, and repartition
+    re-buckets the drifted state with an auto-chosen capacity."""
+    from isph_tpu.parallel.sharded import choose_n_loc, repartition
+    from isph_tpu.state import Kind, make_state, Domain as Dom
+
+    rng = np.random.default_rng(0)
+    n = 256
+    # 3/4 of the particles crowded into the left half -> slab 0 of 2 holds
+    # ~192 > n/2
+    x = np.concatenate([rng.uniform(0.0, 0.5, (192,)),
+                        rng.uniform(0.5, 1.0, (64,))])
+    pts = np.stack([x, rng.uniform(0, 1, (n,))], axis=-1)
+    dom = Dom(lo=(0.0, 0.0), hi=(1.0, 1.0), periodic=(True, True))
+    st = make_state(pts, kind=np.full(n, Kind.FLUID_BIT, np.int32),
+                    rho=1.0, nu=0.1, pad_to=n)
+    with pytest.raises(ValueError, match="choose_n_loc"):
+        partition_state(st, dom, 2, 128)
+    nl = choose_n_loc(st, dom, 2)
+    assert nl >= 192
+    st2, used = repartition(st, dom, 2)
+    assert used == nl
+    v = np.asarray(st2.valid)
+    assert int(v.sum()) == n
+    # every slab's particles sit in its block and its slab
+    x0 = np.asarray(st2.x[0])
+    left = v.copy(); left[used:] = False
+    right = v.copy(); right[:used] = False
+    assert (x0[left] < 0.5).all() and (x0[right] >= 0.5).all()
