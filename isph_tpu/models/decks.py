@@ -847,11 +847,15 @@ _MPPS_BEADS_2D = (
 )
 
 # per-variant parameter sets of the three 3-D decks (deck headers:
-# multiphase-pore-scale-flow-{,a-,b-}3d.lmp:9-40)
+# multiphase-pore-scale-flow-{,a-,b-}3d.lmp:9-40; variant b is the short
+# coarse-smoothing run: len=0.0015, h=0.8 dx, tstep=0.08 h/Umax)
 _MPPS_3D = {
-    "base": dict(N=128, r=0.0044, length=0.00234, bufoff=1.5e-4, umax=0.4),
-    "a": dict(N=96, r=0.0022, length=0.0070, bufoff=2.0e-4, umax=0.08),
-    "b": dict(N=96, r=0.0022, length=0.0070, bufoff=2.0e-4, umax=0.08),
+    "base": dict(N=128, r=0.0044, length=0.00234, bufoff=1.5e-4, umax=0.4,
+                 hfac=1.5, dtfac=0.04),
+    "a": dict(N=96, r=0.0022, length=0.0070, bufoff=2.0e-4, umax=0.08,
+              hfac=1.5, dtfac=0.04),
+    "b": dict(N=96, r=0.0022, length=0.0015, bufoff=2.0e-4, umax=0.08,
+              hfac=0.8, dtfac=0.08),
 }
 
 
@@ -897,15 +901,17 @@ def make_multiphase_pore_scale_flow(
     relies on Krylov semiconvergence, pair_isph.cpp:1782)."""
     if dim == 2:
         r, length, bufoff, umax = 0.0044, 0.01, 0.7e-3, 0.1
+        hfac, dtfac = 1.5, 0.04
     else:
         p = _MPPS_3D[variant]
         r, length, bufoff, umax = p["r"], p["length"], p["bufoff"], p["umax"]
+        hfac, dtfac = p["hfac"], p["dtfac"]
         shift = 0.07  # fix isph/shift 0.07 (3-D decks :141)
     buflen = 2.0e-3 if dim == 2 else 4.0e-4
     rbead = 1.2e-3 if dim == 2 else 0.35 * r
     dx = 2.0 * r / n
     wall = 4.0 * dx
-    h = 1.5 * dx
+    h = hfac * dx
     cut = 3.0 * h  # xml cut over h = 3.0, Quintic
     r0 = r + wall
 
@@ -948,7 +954,7 @@ def make_multiphase_pore_scale_flow(
         ignore_axis=1, ignore_point=bufmin, ignore_thres_over_cut=3.0,
     )
     cfg = SimulationConfig(
-        dim=dim, h=h, dt=0.04 * h / umax, dtype=str(np.dtype(dtype)),
+        dim=dim, h=h, dt=dtfac * h / umax, dtype=str(np.dtype(dtype)),
         kernel=KernelConfig(type=KernelType.QUINTIC, cut_over_h=3.0),
         ns=NavierStokesConfig(
             theta=0.5, boundary=BoundaryCond.MORRIS_HOLMES, beta=100.0,

@@ -394,7 +394,7 @@ def test_multiphase_pore_scale_percolates_2d():
     assert float(np.asarray(state.v[1])[fl].mean()) > 0.0
 
 
-@pytest.mark.parametrize("variant", ["base", "a"])
+@pytest.mark.parametrize("variant", ["base", "a", "b"])
 def test_multiphase_pore_scale_3d_steps(variant):
     sim, state = decks.make_multiphase_pore_scale_flow(
         10, dim=3, variant=variant, nbeads=2, g=1.0, rho=1.0, nu=2e-4,
