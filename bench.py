@@ -469,9 +469,12 @@ def bench_sharded_overhead(n_lattice=128, precond="jacobi"):
     from isph_tpu.models import tgv
     from isph_tpu.parallel.sharded import ShardedSimulation, partition_state
 
+    from isph_tpu.ops.neighbors import lattice_cell_capacity as _lcap
+    sim0, _ = tgv.make_tgv(n_lattice, dtype=jnp.float32)
+    cap = _lcap(sim0.domain, sim0.cfg.cut, 2 * np.pi / n_lattice)
     sim, state = tgv.make_tgv(
         n_lattice, dtype=jnp.float32, max_neighbors=32, pad_multiple=128,
-        gather_chunks=8,
+        gather_chunks=8, cell_capacity=cap,
     )
     sim = dataclasses.replace(sim, cfg=sim.cfg.replace(
         solver=dataclasses.replace(sim.cfg.solver, precond=precond)))
@@ -509,10 +512,14 @@ def bench_step(n_lattice=128, max_neighbors=32, precond="jacobi", s1=1, s2=6):
     from isph_tpu.models import tgv
 
     # uniform chunk width 8 leaves margin for particle drift during the run
-    # (re-neighboring happens inside every step)
+    # (re-neighboring happens inside every step); tight lattice cell caps
+    # shrink the top_k candidate width (~5% of the step, r5)
+    from isph_tpu.ops.neighbors import lattice_cell_capacity as _lcap
+    sim0, _ = tgv.make_tgv(n_lattice, dtype=jnp.float32)
+    cap = _lcap(sim0.domain, sim0.cfg.cut, 2 * np.pi / n_lattice)
     sim, state = tgv.make_tgv(
         n_lattice, dtype=jnp.float32, max_neighbors=max_neighbors, pad_multiple=128,
-        gather_chunks=8,
+        gather_chunks=8, cell_capacity=cap,
     )
     cfg = sim.cfg.replace(solver=dataclasses.replace(sim.cfg.solver, precond=precond))
     sim = dataclasses.replace(sim, cfg=cfg)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +58,7 @@ def make_tgv(
     dtype=jnp.float64,
     pad_multiple: int = 8,
     gather_chunks=0,
+    cell_capacity: Optional[int] = None,
 ) -> Tuple[Simulation, ParticleState]:
     """dim=3 builds the reference 3-D deck (sph-script/taylor-green-vortex-3d
     .lmp + bench-script/hopper/tgv/1728/tgv-3d-p24.lmp:24-33): sc lattice
@@ -101,7 +102,9 @@ def make_tgv(
     # (see _cell_grid) — at 24^3 quintic this cuts the candidate width
     # 9261 -> ~4000 and the neighbor build ~9x with the 2-stage top_k
     subdiv = 2 if (dim == 3 and cut_over_h * h / dx > 3.0) else 1
-    if subdiv > 1:
+    if cell_capacity is not None:
+        cap = cell_capacity
+    elif subdiv > 1:
         from isph_tpu.ops.neighbors import lattice_cell_capacity
 
         cap = lattice_cell_capacity(domain, cut_over_h * h, dx, subdiv=subdiv)
